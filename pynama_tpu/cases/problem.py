@@ -1,0 +1,279 @@
+"""Case orchestration: mesh + operators + BC + KLE solver + time stepping.
+
+Functional equivalent of reference `src/cases/base_problem.py` (BaseProblem /
+BaseProblemTest): builds everything from a YAML-style config dict, exposes the
+RHS evaluation (evalRHS, base_problem.py:111-137), the KLE verification sweeps
+(getKLEError, base_problem.py:375-391), and the operator convergence tests
+(OperatorsTests, base_problem.py:318-340).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynama_tpu.basis import make_tensor_basis
+from pynama_tpu.bc import BoundaryConditions
+from pynama_tpu.config import get_config
+from pynama_tpu.elements import compute_kle_matrices, compute_operators
+from pynama_tpu.functions import get_function_lib
+from pynama_tpu.mesh import BoxMesh
+from pynama_tpu.ops.apply import ElementOp, apply_op, fanin_sum, \
+    make_element_op
+from pynama_tpu.solver.kle import KLESolver, build_system
+from pynama_tpu.solver.timestep import adaptive_solve
+
+logger = logging.getLogger("pynama_tpu.problem")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Operators:
+    """Row-scaled nodal operators (reference Operators, mat_fs.py:211-271).
+
+    The assembled SrT/DivSrT/Curl are row-scaled by the reciprocal lumped
+    weight (diagonalScale, mat_fs.py:253-267) so applications return nodal
+    field values.
+    """
+    curl_op: ElementOp     # velocity -> vorticity
+    srt_op: ElementOp      # velocity -> strain components
+    div_op: ElementOp      # strain -> velocity
+    winv: jax.Array        # (n_nodes, 1) reciprocal lumped weights
+    weight: jax.Array      # (n_nodes, 1) lumped weights (for error norms)
+
+    def curl(self, v):
+        return apply_op(self.curl_op, v) * self.winv
+
+    def srt(self, v):
+        return apply_op(self.srt_op, v) * self.winv
+
+    def div_srt(self, s):
+        return apply_op(self.div_op, s) * self.winv
+
+
+def compute_vtensv(vel: jax.Array, dim: int) -> jax.Array:
+    """v (x) v packed into the symmetric strain slots
+    (reference computeVtensV, base_problem.py:139-154)."""
+    if dim == 2:
+        vx, vy = vel[:, 0], vel[:, 1]
+        return jnp.stack([vx * vx, vx * vy, vy * vy], axis=1)
+    vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
+    return jnp.stack([vx * vx, vx * vy, vy * vy,
+                      vy * vz, vz * vz, vz * vx], axis=1)
+
+
+class Problem:
+    """A configured flow case (reference BaseProblem)."""
+
+    def __init__(self, config: dict, **kwargs):
+        self.config = config
+        self.case_name = config.get("name", "case")
+        mat = config["material-properties"]
+        self.rho = float(mat["rho"])
+        self.mu = float(mat["mu"])
+        self.nu = self.mu / self.rho
+        self.opts = dict(kwargs)
+        ts = config.get("time-solver", {})
+        self.start_time = float(ts.get("start-time", 0.0))
+        self.end_time = float(ts.get("end-time", 1.0))
+        self.max_steps = int(ts.get("max-steps", 1000))
+        self.viewer = None
+
+    # ------------------------------------------------------------------ setup
+    def setUp(self):
+        cfg = get_config()
+        dom = dict(self.config["domain"])
+        box = dict(dom.get("box-mesh", dom))
+        ngl = int(self.opts.get("ngl", dom["ngl"]))
+        nelem = self.opts.get("nelem", box["nelem"])
+        lower = self.opts.get("lower", box.get("lower", [0] * len(nelem)))
+        upper = self.opts.get("upper", box.get("upper", [1] * len(nelem)))
+
+        self.mesh = BoxMesh.create(ngl, nelem, lower, upper)
+        self.dim = self.mesh.dim
+        self.dim_w = self.mesh.dim_w
+        self.dim_s = self.mesh.dim_s
+        self.ngl = ngl
+        self.basis = make_tensor_basis(ngl, self.dim)
+        self.dtype = cfg.resolved_dtype()
+
+        bc_data = dict(self.config["boundary-conditions"])
+        for k in ("freeSlip", "noSlip"):
+            if k in self.opts:
+                key = "free-slip" if k == "freeSlip" else "no-slip"
+                bc_data[key] = self.opts[k]
+        self.bc = BoundaryConditions(self.mesh, bc_data)
+
+        self._build_operators()
+        self._build_kle_solver()
+        self.vort, self.vel = self._initial_conditions()
+
+    def _build_operators(self):
+        mesh, basis = self.mesh, self.basis
+        corners = mesh.cell_corners[0] if mesh.is_uniform \
+            else mesh.cell_corners
+        self._em = compute_kle_matrices(basis, corners)
+        eo = compute_operators(basis, corners)
+        mk = lambda m, din, dout: make_element_op(
+            m, mesh.cell_nodes, mesh.incidence, din, dout, mesh.n_nodes,
+            dtype=self.dtype)
+
+        # lumped weights (mat_fs.py:249-251 weight lumping)
+        wtile = np.broadcast_to(eo.weight, (mesh.n_cells, mesh.nnode_el))
+        wop = mk(np.zeros((1, 1)), 1, 1)  # reuse fanin tables
+        w = fanin_sum(wop, jnp.asarray(wtile, dtype=self.dtype))
+        self.operator = Operators(
+            curl_op=mk(eo.Curl, self.dim, self.dim_w),
+            srt_op=mk(eo.SrT, self.dim, self.dim_s),
+            div_op=mk(eo.DivSrT, self.dim_s, self.dim),
+            winv=1.0 / w, weight=w)
+
+    def _build_kle_solver(self):
+        cfg = get_config()
+        mesh = self.mesh
+        method = self.opts.get("solver", cfg.solver)
+        n_free = int(self.bc.free_main.sum())
+        if method == "auto":
+            method = "direct" if mesh.n_nodes * self.dim \
+                <= cfg.direct_max_dofs else "cg"
+        self.solver_method = method
+
+        mk = lambda m, din, dout: make_element_op(
+            m, mesh.cell_nodes, mesh.incidence, din, dout, mesh.n_nodes,
+            dtype=self.dtype)
+        K_op = mk(self._em.K, self.dim, self.dim)
+        Rw_op = mk(self._em.Rw, self.dim_w, self.dim)
+
+        K_np = np.asarray(self._em.K)
+        sys_args = dict(K_mat_np=K_np, cell_nodes=np.asarray(mesh.cell_nodes),
+                        K_op=K_op, method=method, cg_rtol=cfg.cg_rtol,
+                        cg_atol=cfg.cg_atol, cg_maxiter=cfg.cg_maxiter,
+                        dtype=self.dtype)
+        main = build_system(free_mask_np=self.bc.free_main, **sys_args)
+        fs = build_system(free_mask_np=self.bc.free_fs, **sys_args) \
+            if self.bc.needs_fs_stage else None
+        self.kle = KLESolver(K_op=K_op, Rw_op=Rw_op, main=main, fs=fs)
+        logger.info("KLE solver: %s (%d free dofs / %d nodes)", method,
+                    n_free, mesh.n_nodes)
+
+    def _initial_conditions(self):
+        """reference setUpInitialConditions (base_problem.py:181-226)."""
+        n = self.mesh.n_nodes
+        vort = jnp.zeros((n, self.dim_w), dtype=self.dtype)
+        vel = jnp.zeros((n, self.dim), dtype=self.dtype)
+        ic = self.config.get("initial-conditions", {})
+        if "custom-func" in ic:
+            lib = get_function_lib(ic["custom-func"]["name"])
+            a = lib.alpha(self.nu, self.start_time)
+            coords = self.mesh.coords
+            vel = jnp.asarray(lib.velocity(coords, a), dtype=self.dtype)
+            vort = jnp.asarray(lib.vorticity(coords, a), dtype=self.dtype)
+        elif "velocity" in ic and "vorticity" not in ic:
+            vel = jnp.tile(jnp.asarray(ic["velocity"], dtype=self.dtype),
+                           (n, 1))
+        elif "vorticity" in ic:
+            vort = jnp.tile(jnp.asarray(ic["vorticity"], dtype=self.dtype),
+                            (n, 1))
+        return vort, vel
+
+    # ------------------------------------------------------------------- RHS
+    def solve_kle(self, vort, vel, t=None):
+        """Apply BCs and run the (possibly two-stage) KLE solve
+        (evalRHS pre-solve chain, base_problem.py:115-125)."""
+        t = self.start_time if t is None else t
+        vort = self.bc.apply_vorticity(vort, t, self.nu)
+        vel = self.bc.apply_velocity(vel, t, self.nu)
+        if self.kle.is_ns:
+            vel_fs = self.kle.solve_fs(vort, vel)
+            vel_fs = self.bc.apply_tangential(vel_fs, t, self.nu)
+            vort = self.operator.curl(vel_fs)
+        vel = self.kle.solve(vort, vel)
+        return vort, vel
+
+    def rhs(self, t, vort, vel_prev):
+        """d(vort)/dt (reference evalRHS, base_problem.py:111-137).
+
+        Note: the reference evaluates at `self.vort` (the step-start state)
+        rather than the RK stage vector; here the stage vector is used, which
+        is the mathematically intended explicit-RK semantics.
+        """
+        vort_bc, vel = self.solve_kle(vort, vel_prev, t)
+        vtensv = compute_vtensv(vel, self.dim)
+        aux1 = 2.0 * self.mu * apply_op(self.operator.srt_op, vel) \
+            * self.operator.winv - self.rho * vtensv
+        rhs_v = self.operator.div_srt(aux1) / self.rho
+        f = self.operator.curl(rhs_v)
+        return f, vel
+
+    # ----------------------------------------------------------- time solving
+    def start_solver(self, post_step=None, dt0=None, atol=1e-4, rtol=1e-4):
+        """Integrate vorticity from start to end time (reference ts.solve)."""
+        if dt0 is None:
+            dt0 = (self.end_time - self.start_time) / (10 * self.max_steps)
+
+        def _post(step, t, dt, y, aux):
+            logger.info("Converged: Step %4d | Time %.4e | dt %.2e",
+                        step, t, dt)
+            if post_step is not None:
+                post_step(step, t, dt, y, aux)
+
+        t, vort, vel, steps = adaptive_solve(
+            self.rhs, self.start_time, self.end_time, self.vort, self.vel,
+            dt0=dt0, max_steps=self.max_steps, atol=atol, rtol=rtol,
+            post_step=_post)
+        self.vort, self.vel = vort, vel
+        return t, steps
+
+    # ------------------------------------------------------------ test suite
+    def exact_fields(self, time, names=("velocity", "vorticity")):
+        """Exact analytic fields at `time` (generateExactVecs,
+        base_problem.py:235-264)."""
+        lib = get_function_lib(self.config["tests"]["custom-func"]["name"])
+        a = lib.alpha(self.nu, time)
+        coords = self.mesh.coords
+        out = []
+        for name in names:
+            fn = getattr(lib, name)
+            if name == "diffusive":
+                out.append(jnp.asarray(fn(coords, a, self.nu),
+                                       dtype=self.dtype))
+            else:
+                out.append(jnp.asarray(fn(coords, a), dtype=self.dtype))
+        return out
+
+    def kle_errors(self, viscous_times):
+        """Velocity L2 error of the KLE solve against exact fields
+        (getKLEError, base_problem.py:375-391), t = tau^2/(4 nu)."""
+        errors = []
+        vel = self.vel
+        for tau in viscous_times:
+            time = tau**2 / (4 * self.nu)
+            exact_vel, exact_vort = self.exact_fields(time)
+            _, vel = self.solve_kle(exact_vort, vel, time)
+            errors.append(float(jnp.linalg.norm(
+                (exact_vel - vel).ravel())))
+        return errors
+
+    def operators_errors(self, viscous_time=1.0):
+        """Weighted-L2 errors of convective/diffusive/curl operators
+        (OperatorsTests, base_problem.py:318-340)."""
+        time = viscous_time**2 / (4 * self.nu)
+        exact_vel, exact_vort, exact_conv, exact_diff = self.exact_fields(
+            time, ("velocity", "vorticity", "convective", "diffusive"))
+        op = self.operator
+
+        vtensv = compute_vtensv(exact_vel, self.dim)
+        convective = op.curl(op.div_srt(vtensv))
+        aux1 = 2.0 * self.mu * op.srt(exact_vel)
+        diffusive = op.curl(op.div_srt(aux1) / self.rho)
+        curl = op.curl(exact_vel)
+
+        def werr(err):
+            return float(jnp.sqrt(((err * err) * op.weight).sum()))
+
+        return (werr(convective - exact_conv), werr(diffusive - exact_diff),
+                werr(curl - exact_vort))

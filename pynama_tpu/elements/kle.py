@@ -1,0 +1,239 @@
+"""Element-local KLE matrices and nodal operators.
+
+Re-derivation of reference `src/domain/elements/spectral.py:92-228`
+(`getElemKLEMatrices`, `getElemKLEOperators`) in vectorized tensor form, with
+local dofs in plain tensor order (axis 0 slowest) and interleaved components
+(dof = node*dim + comp). Supports a single element geometry or a batch of
+element geometries (leading E axis) — on a uniform box mesh every element
+shares one geometry, so a single set of matrices serves the whole mesh.
+
+The KLE ("kinematic Laplacian") element system is
+  K  = integral grad(v):grad(v)                     (full quadrature)
+       + alpha_d * div(v) div(v) + alpha_w * curl(v).curl(v)   (reduced quad)
+  Rw = integral v . curl(w)      (full)  + alpha_w curl(v).w   (reduced)
+  Rd = -integral v . grad(.)     (full)  + alpha_d div-term    (reduced)
+with alpha_w = 1e2, alpha_d = 1e3 (spectral.py:96-97).
+
+Nodal operators (GLL nodal quadrature, spectral.py:162-228): SrT (velocity ->
+symmetric strain components), DivSrT (strain -> velocity), Curl (velocity ->
+vorticity), and the lumped weight vector used for row scaling.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pynama_tpu.basis.tables import QuadFamily, TensorBasis
+
+ALPHA_W = 1.0e2
+ALPHA_D = 1.0e3
+
+
+# ---------------------------------------------------------------------------
+# sign/index tensors (the ind* tables of spectral.py:26-33 in dense form)
+# ---------------------------------------------------------------------------
+
+def curl_tensor(dim: int) -> np.ndarray:
+    """T[w, c, d] with (curl v)_w = sum_{c,d} T[w,c,d] d_d v_c.
+
+    2D: scalar curl  w_z = dv_y/dx - dv_x/dy   (dim_w = 1)
+    3D: standard Levi-Civita curl              (dim_w = 3)
+    """
+    if dim == 2:
+        T = np.zeros((1, 2, 2))
+        T[0, 1, 0] = 1.0
+        T[0, 0, 1] = -1.0
+        return T
+    T = np.zeros((3, 3, 3))
+    for w in range(3):
+        for d in range(3):
+            for c in range(3):
+                T[w, c, d] = _eps(w, d, c)
+    return T
+
+
+def _eps(i, j, k):
+    return ((i - j) * (j - k) * (k - i)) / 2.0
+
+
+def vorticity_curl_tensor(dim: int) -> np.ndarray:
+    """T[c, e, d] with (curl w)_c = sum_{e,d} T[c,e,d] d_d w_e.
+
+    2D: curl of scalar w -> (dw/dy, -dw/dx); 3D: standard curl.
+    (reference indWCurl, spectral.py:26,31)
+    """
+    if dim == 2:
+        T = np.zeros((2, 1, 2))
+        T[0, 0, 1] = 1.0
+        T[1, 0, 0] = -1.0
+        return T
+    T = np.zeros((3, 3, 3))
+    for c in range(3):
+        for e in range(3):
+            for d in range(3):
+                T[c, e, d] = _eps(c, d, e)
+    return T
+
+
+def srt_tensor(dim: int) -> np.ndarray:
+    """T[s, c, d] with strain component s = sum T[s,c,d] d_d v_c.
+
+    Reduced symmetric components (reference B_srt, spectral.py:199-217):
+    2D: [du/dx, (du/dy+dv/dx)/2, dv/dy]
+    3D: [du/dx, (u_y+v_x)/2, dv/dy, (v_z+w_y)/2, dw/dz, (u_z+w_x)/2]
+    """
+    if dim == 2:
+        T = np.zeros((3, 2, 2))
+        T[0, 0, 0] = 1.0
+        T[2, 1, 1] = 1.0
+        T[1, 1, 0] = 0.5
+        T[1, 0, 1] = 0.5
+        return T
+    T = np.zeros((6, 3, 3))
+    T[0, 0, 0] = 1.0
+    T[2, 1, 1] = 1.0
+    T[4, 2, 2] = 1.0
+    for s, c, d in [(1, 1, 0), (1, 0, 1), (3, 2, 1), (3, 1, 2),
+                    (5, 2, 0), (5, 0, 2)]:
+        T[s, c, d] = 0.5
+    return T
+
+
+def div_srt_tensor(dim: int) -> np.ndarray:
+    """T[c, s, d] with (div sigma)_c = sum T[c,s,d] d_d sigma_s.
+
+    Uses the symmetric-component index map indBdiv (spectral.py:28,33):
+    2D [[0,1],[1,2]]; 3D [[0,1,5],[1,2,3],[5,3,4]] with rows indexed by the
+    derivative axis and columns by the velocity component.
+    """
+    ind = [[0, 1], [1, 2]] if dim == 2 else [[0, 1, 5], [1, 2, 3], [5, 3, 4]]
+    dim_s = 3 if dim == 2 else 6
+    T = np.zeros((dim, dim_s, dim))
+    for d in range(dim):
+        for c in range(dim):
+            T[c, ind[d][c], d] = 1.0
+    return T
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def _geometry(fam: QuadFamily, corners: np.ndarray):
+    """Physical derivatives and weighted Jacobian determinant.
+
+    corners: (..., 2**dim, dim). Returns (Hxy, wdet):
+      Hxy:  (..., nq, dim, nnode)   d h_a / d x_p at each quad point
+      wdet: (..., nq)               w_q * det J_q
+    """
+    # J[..., q, r, p] = sum_a DCoo[q, r, a] corners[..., a, p]
+    J = np.einsum('qra,...ap->...qrp', fam.DCoo, corners)
+    detJ = np.linalg.det(J)
+    Jinv = np.linalg.inv(J)  # (..., q, p, r) inverse as matrix
+    Hxy = np.einsum('...qpr,qra->...qpa', Jinv, fam.D)
+    wdet = fam.weights * detJ
+    return Hxy, wdet
+
+
+def _interleave_quad(M: np.ndarray, dims: tuple[int, int]) -> np.ndarray:
+    """(..., a, c, b, e) -> (..., a*dc + c, b*de + e)."""
+    dc, de = dims
+    sh = M.shape
+    return M.reshape(sh[:-4] + (sh[-4] * dc, sh[-2] * de))
+
+
+# ---------------------------------------------------------------------------
+# element matrices
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ElementMatrices:
+    """K, Rw, Rd with interleaved dof layout; possibly batched over elements."""
+    K: np.ndarray    # (..., nnode*dim, nnode*dim)
+    Rw: np.ndarray   # (..., nnode*dim, nnode*dim_w)
+    Rd: np.ndarray   # (..., nnode*dim, nnode)
+
+
+@dataclasses.dataclass(frozen=True)
+class ElementOperators:
+    SrT: np.ndarray     # (..., nnode*dim_s, nnode*dim)
+    DivSrT: np.ndarray  # (..., nnode*dim, nnode*dim_s)
+    Curl: np.ndarray    # (..., nnode*dim_w, nnode*dim)
+    weight: np.ndarray  # (..., nnode) lumped weights (w_q * detJ at nodes)
+
+
+def compute_kle_matrices(basis: TensorBasis, corners: np.ndarray,
+                         alpha_w: float = ALPHA_W,
+                         alpha_d: float = ALPHA_D) -> ElementMatrices:
+    """Element K/Rw/Rd (reference getElemKLEMatrices, spectral.py:92-160)."""
+    dim = basis.dim
+    Tc = curl_tensor(dim)        # (dim_w, dim, dim)
+    Tw = vorticity_curl_tensor(dim)  # (dim, dim_w, dim)
+    eye = np.eye(dim)
+
+    # --- full quadrature: vector Laplacian, Rw, Rd main terms
+    Hxy, wdet = _geometry(basis.full, corners)
+    H = basis.full.H
+    # scalar Laplacian L[a,b]; K_full = L x I_dim interleaved
+    L = np.einsum('...q,...qda,...qdb->...ab', wdet, Hxy, Hxy)
+    K = _interleave_quad(
+        L[..., :, None, :, None] * eye[None, :, None, :], (dim, dim))
+
+    # Rw full: [(a,c),(b,e)] = sum_q wdet H[q,a] Tw[c,e,d] Hxy[q,d,b]
+    Rw = _interleave_quad(
+        np.einsum('...q,qa,ced,...qdb->...acbe', wdet, H, Tw, Hxy),
+        (dim, basis.dim_w))
+
+    # Rd full: [(a,c), b] = -sum_q wdet H[q,a] Hxy[q,c,b]
+    Rd = -np.einsum('...q,qa,...qcb->...acb', wdet, H, Hxy)
+    Rd = Rd.reshape(Rd.shape[:-3] + (Rd.shape[-3] * dim, Rd.shape[-1]))
+
+    # --- reduced quadrature penalties
+    Hxy_r, wdet_r = _geometry(basis.reduced, corners)
+    H_r = basis.reduced.H
+    # div penalty: alpha_d * Hxy[c,a] Hxy[e,b]
+    K = K + alpha_d * _interleave_quad(
+        np.einsum('...q,...qca,...qeb->...acbe', wdet_r, Hxy_r, Hxy_r),
+        (dim, dim))
+    # curl penalty: alpha_w * Bc[w,(a,c)] Bc[w,(b,e)]
+    Bc = np.einsum('wcd,...qda->...qwac', Tc, Hxy_r)
+    K = K + alpha_w * _interleave_quad(
+        np.einsum('...q,...qwac,...qwbe->...acbe', wdet_r, Bc, Bc),
+        (dim, dim))
+    # Rw penalty: alpha_w * Bc[e,(a,c)] H[b] on (vel rows, w cols)
+    Rw = Rw + alpha_w * _interleave_quad(
+        np.einsum('...q,...qeac,qb->...acbe', wdet_r, Bc, H_r),
+        (dim, basis.dim_w))
+    # Rd penalty: +alpha_d * Hxy[c,a] H[b]
+    Rd_pen = alpha_d * np.einsum('...q,...qca,qb->...acb', wdet_r, Hxy_r, H_r)
+    Rd = Rd + Rd_pen.reshape(Rd.shape)
+
+    return ElementMatrices(K=K, Rw=Rw, Rd=Rd)
+
+
+def compute_operators(basis: TensorBasis, corners: np.ndarray
+                      ) -> ElementOperators:
+    """Nodal SrT/DivSrT/Curl/weights (reference getElemKLEOperators,
+    spectral.py:162-228)."""
+    dim = basis.dim
+    fam = basis.operator
+    Hxy, wdet = _geometry(fam, corners)
+    H = fam.H
+    Ts = srt_tensor(dim)
+    Td = div_srt_tensor(dim)
+    Tc = curl_tensor(dim)
+
+    SrT = _interleave_quad(
+        np.einsum('...q,qa,scd,...qdb->...asbc', wdet, H, Ts, Hxy),
+        (basis.dim_s, dim))
+    DivSrT = _interleave_quad(
+        np.einsum('...q,qa,csd,...qdb->...acbs', wdet, H, Td, Hxy),
+        (dim, basis.dim_s))
+    Curl = _interleave_quad(
+        np.einsum('...q,qa,wcd,...qdb->...awbc', wdet, H, Tc, Hxy),
+        (basis.dim_w, dim))
+    # partition of unity: row sums of the weight matrix reduce to w_q detJ
+    # projected on the nodal basis (spectral.py:225-227)
+    weight = np.einsum('...q,qa->...a', wdet, H)
+    return ElementOperators(SrT=SrT, DivSrT=DivSrT, Curl=Curl, weight=weight)

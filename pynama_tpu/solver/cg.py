@@ -1,0 +1,62 @@
+"""Preconditioned conjugate gradients under `lax.while_loop`.
+
+TPU-native replacement for the reference's KSP solve (`src/solver/
+kle_solver.py:49-64`, GMRES+LU ~= direct). The penalized KLE operator K is
+symmetric positive definite on the free subspace, so CG is the natural Krylov
+method; dots/norms reduce with jnp (psum-compatible under shard_map/GSPMD).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    residual: jax.Array
+
+
+def _dot(a, b):
+    return jnp.vdot(a.ravel(), b.ravel())
+
+
+def pcg(A: Callable, b: jax.Array, x0: jax.Array,
+        M_inv: Callable | None = None, rtol: float = 1e-12,
+        atol: float = 0.0, maxiter: int = 1000) -> CGResult:
+    """Solve A x = b with preconditioned CG.
+
+    A and M_inv are linear callables on arrays of b's shape. Stopping:
+    ||r||_2 <= max(rtol * ||b||_2, atol), capped at maxiter iterations.
+    """
+    if M_inv is None:
+        M_inv = lambda r: r
+
+    r0 = b - A(x0)
+    z0 = M_inv(r0)
+    gamma0 = _dot(r0, z0)
+    bnorm = jnp.sqrt(_dot(b, b))
+    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+
+    def cond(state):
+        x, r, z, p, gamma, k = state
+        return jnp.logical_and(_dot(r, r) > tol2, k < maxiter)
+
+    def body(state):
+        x, r, z, p, gamma, k = state
+        Ap = A(p)
+        alpha = gamma / _dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_inv(r)
+        gamma_new = _dot(r, z)
+        beta = gamma_new / gamma
+        p = z + beta * p
+        return (x, r, z, p, gamma_new, k + 1)
+
+    state = (x0, r0, z0, z0, gamma0, jnp.array(0, dtype=jnp.int32))
+    x, r, _, _, _, k = jax.lax.while_loop(cond, body, state)
+    return CGResult(x=x, iters=k, residual=jnp.sqrt(_dot(r, r)))
