@@ -150,8 +150,11 @@ class Problem:
 
         K_np = np.asarray(self._em.K)
         sys_args = dict(K_mat_np=K_np, cell_nodes=np.asarray(mesh.cell_nodes),
-                        K_op=K_op, method=method, cg_rtol=cfg.cg_rtol,
-                        cg_atol=cfg.cg_atol, cg_maxiter=cfg.cg_maxiter,
+                        K_op=K_op, method=method,
+                        cg_rtol=self.opts.get("cg_rtol", cfg.cg_rtol),
+                        cg_atol=self.opts.get("cg_atol", cfg.cg_atol),
+                        cg_maxiter=self.opts.get("cg_maxiter",
+                                                 cfg.cg_maxiter),
                         dtype=self.dtype)
         main = build_system(free_mask_np=self.bc.free_main, **sys_args)
         fs = build_system(free_mask_np=self.bc.free_fs, **sys_args) \
@@ -221,10 +224,13 @@ class Problem:
             if post_step is not None:
                 post_step(step, t, dt, y, aux)
 
+        def _accept(t, w):
+            return self.bc.apply_vorticity(w, t, self.nu)
+
         t, vort, vel, steps = adaptive_solve(
             self.rhs, self.start_time, self.end_time, self.vort, self.vel,
             dt0=dt0, max_steps=self.max_steps, atol=atol, rtol=rtol,
-            post_step=_post)
+            post_step=_post, accept_fn=_accept)
         self.vort, self.vel = vort, vel
         return t, steps
 

@@ -33,7 +33,9 @@ class FrameworkConfig:
         if self.dtype is not None:
             return jnp.dtype(self.dtype)
         # follow jax's x64 mode
-        return jnp.zeros((), dtype=jnp.float64).dtype
+        import jax
+        return np.dtype(np.float64) if jax.config.jax_enable_x64 \
+            else np.dtype(np.float32)
 
 
 _config = FrameworkConfig()

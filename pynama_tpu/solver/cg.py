@@ -3,11 +3,11 @@
 TPU-native replacement for the reference's KSP solve (`src/solver/
 kle_solver.py:49-64`, GMRES+LU ~= direct). The penalized KLE operator K is
 symmetric positive definite on the free subspace, so CG is the natural Krylov
-method; dots/norms reduce with jnp (psum-compatible under shard_map/GSPMD).
+method. The inner product is pluggable: the single-device path uses a plain
+vdot, the slab-sharded path an ownership-masked `psum` dot (SURVEY §2.3).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -20,13 +20,14 @@ class CGResult(NamedTuple):
     residual: jax.Array
 
 
-def _dot(a, b):
+def _vdot(a, b):
     return jnp.vdot(a.ravel(), b.ravel())
 
 
 def pcg(A: Callable, b: jax.Array, x0: jax.Array,
         M_inv: Callable | None = None, rtol: float = 1e-12,
-        atol: float = 0.0, maxiter: int = 1000) -> CGResult:
+        atol: float = 0.0, maxiter: int = 1000,
+        dot: Callable | None = None) -> CGResult:
     """Solve A x = b with preconditioned CG.
 
     A and M_inv are linear callables on arrays of b's shape. Stopping:
@@ -34,29 +35,31 @@ def pcg(A: Callable, b: jax.Array, x0: jax.Array,
     """
     if M_inv is None:
         M_inv = lambda r: r
+    if dot is None:
+        dot = _vdot
 
     r0 = b - A(x0)
     z0 = M_inv(r0)
-    gamma0 = _dot(r0, z0)
-    bnorm = jnp.sqrt(_dot(b, b))
+    gamma0 = dot(r0, z0)
+    bnorm = jnp.sqrt(dot(b, b))
     tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
 
     def cond(state):
         x, r, z, p, gamma, k = state
-        return jnp.logical_and(_dot(r, r) > tol2, k < maxiter)
+        return jnp.logical_and(dot(r, r) > tol2, k < maxiter)
 
     def body(state):
         x, r, z, p, gamma, k = state
         Ap = A(p)
-        alpha = gamma / _dot(p, Ap)
+        alpha = gamma / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M_inv(r)
-        gamma_new = _dot(r, z)
+        gamma_new = dot(r, z)
         beta = gamma_new / gamma
         p = z + beta * p
         return (x, r, z, p, gamma_new, k + 1)
 
     state = (x0, r0, z0, z0, gamma0, jnp.array(0, dtype=jnp.int32))
     x, r, _, _, _, k = jax.lax.while_loop(cond, body, state)
-    return CGResult(x=x, iters=k, residual=jnp.sqrt(_dot(r, r)))
+    return CGResult(x=x, iters=k, residual=jnp.sqrt(dot(r, r)))

@@ -87,14 +87,19 @@ class StepResult(NamedTuple):
     aux: object
 
 
-def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float):
+def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float,
+              err_norm: Optional[Callable] = None):
     """Build the jittable single-attempt stepper.
 
     rhs(t, y, aux) -> (dy/dt, aux). Returns attempt(t, dt, y, aux) ->
     StepResult with the 5th-order update and the WRMS error norm of
-    (y5 - y4) against atol + rtol*max(|y|, |y5|).
+    (y5 - y4) against atol + rtol*max(|y|, |y5|). `err_norm(e)` overrides
+    the RMS reduction (the sharded path passes an ownership-masked psum
+    norm).
     """
     s = len(tableau.c)
+    if err_norm is None:
+        err_norm = lambda e: jnp.sqrt(jnp.mean(e * e))
 
     def attempt(t, dt, y, aux):
         a = tableau.a
@@ -115,7 +120,7 @@ def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float):
                 y4 = y4 + (dt * tableau.b_emb[j]) * ks[j]
         w = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
         e = (y5 - y4) / w
-        enorm = jnp.sqrt(jnp.mean(e * e))
+        enorm = err_norm(e)
         return StepResult(y=y5, enorm=enorm, aux=aux)
 
     return attempt
@@ -126,11 +131,15 @@ def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
                    atol: float = 1e-4, rtol: float = 1e-4,
                    tableau: str = "5bs", safety: float = 0.9,
                    clip: tuple = (0.1, 10.0), dt_min: float = 1e-14,
-                   post_step: Optional[Callable] = None, jit: bool = True):
+                   post_step: Optional[Callable] = None,
+                   accept_fn: Optional[Callable] = None, jit: bool = True):
     """Adaptive integration from t0 to t_end (MATCHSTEP semantics).
 
     post_step(step, t, dt, y, aux) fires on every accepted step
     (reference convergedStepFunction, base_problem.py:93-103).
+    accept_fn(t, y) -> y transforms every accepted state — used to pin
+    boundary values on the evolved state, matching the reference's in-place
+    BC application to the TS solution vector (base_problem.py:115).
     Returns (t, y, aux, accepted_steps).
     """
     tab = get_tableau(tableau)
@@ -155,6 +164,8 @@ def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
             t += dt
             step += 1
             y, aux = res.y, res.aux
+            if accept_fn is not None:
+                y = accept_fn(t, y)
             if post_step is not None:
                 post_step(step, t, dt, y, aux)
             dt = dt * factor
