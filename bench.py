@@ -1,14 +1,22 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
 Headline: effective SpMV throughput (assembled-matrix GNNZ/s) of the
-matrix-free KLE operator application on one chip. `vs_baseline` is the ratio
-against the speed-of-light of a CLASSICAL assembled-CSR SpMV on this chip's
-HBM bandwidth (8 bytes/nnz at f32: value + column index) — i.e. how much
-faster the TPU-native matrix-free design is than a perfectly
-bandwidth-bound PETSc-style SpMV could ever be on the same silicon.
+element-local matrix-free KLE operator application on one chip. The
+`vs_baseline` ratio compares against the speed-of-light of a CLASSICAL
+assembled-CSR SpMV on this chip's HBM bandwidth (8 bytes/nnz at f32:
+value + column index) — i.e. how the TPU-native matrix-free design compares
+with the best any PETSc-style assembled SpMV could do on the same silicon.
 
-Secondary numbers (stderr): full RHS eval time, KLE CG solve time per
-timestep at fixed residual, per BASELINE.md.
+Methodology notes:
+  * All operator pytrees are passed as jit ARGUMENTS (closure-captured
+    constants trigger pathological XLA compiles and per-call re-uploads on
+    some platforms).
+  * The K apply is timed as a chain of NIT applications inside one jit
+    (lax.fori_loop) with a final host fetch — robust against dispatch
+    latency/noise on tunneled devices.
+
+Secondary numbers (stderr): KLE CG solve time at fixed residual, full RHS
+evaluation time, per BASELINE.md.
 """
 import json
 import os
@@ -43,25 +51,11 @@ def assembled_nnz(mesh) -> int:
     return int(grid.sum()) * mesh.dim * mesh.dim
 
 
-def timeit(fn, *args, reps=20, warmup=3):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
 def main():
     import jax
     import jax.numpy as jnp
     from pynama_tpu.cases import Problem
-    from pynama_tpu.ops.apply import apply_op
+    from pynama_tpu.engine import local_engine as E
 
     size = os.environ.get("PYNAMA_BENCH", "default")
     if size == "small":
@@ -91,47 +85,62 @@ def main():
     p = Problem(cfg, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
                 cg_maxiter=1000)
     p.setUp()
+    ops = p.engine_ops
+    assert ops is not None
     log(f"setup {time.time()-t0:.1f}s: {p.mesh.n_nodes} nodes, "
         f"{p.mesh.n_cells} cells, ngl={ngl}, dtype={p.dtype}")
 
     nnz = assembled_nnz(p.mesh)
     log(f"assembled K nnz: {nnz/1e9:.3f} G")
 
-    # --- SpMV-equivalent: one masked K application
-    free = p.kle.main.free
-    K_op = p.kle.K_op
+    NIT = 50
 
     @jax.jit
-    def k_apply(v):
-        return free * apply_op(K_op, free * v) + (1.0 - free) * v
+    def k_chain(ops_, v):
+        def body(i, x):
+            y = E.apply_K(ops_, x)
+            return y / (1.0 + jnp.max(jnp.abs(y)))
+        return jax.lax.fori_loop(0, NIT, body, v)
 
-    v = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (p.mesh.n_nodes, p.dim)), dtype=p.dtype)
-    t_apply = timeit(k_apply, v)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(p.to_local(rng.standard_normal(
+        (p.mesh.n_nodes, p.dim))), dtype=p.dtype)
+
+    def timed(fn, *args, reps=5):
+        np.asarray(jax.block_until_ready(fn(*args))).ravel()[0]  # compile+sync
+        best = np.inf
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            out = fn(*args)
+            float(np.asarray(out).ravel()[0])      # host fetch = hard sync
+            best = min(best, time.perf_counter() - t1)
+        return best
+
+    t_chain = timed(k_chain, ops, v)
+    t_apply = t_chain / NIT
     gnnz_s = nnz / t_apply / 1e9
-    log(f"K apply: {t_apply*1e3:.3f} ms -> {gnnz_s:.1f} GNNZ/s effective")
+    log(f"K apply ({NIT}-chain): {t_apply*1e3:.3f} ms "
+        f"-> {gnnz_s:.1f} GNNZ/s effective")
 
     # --- CSR speed-of-light on this chip (f32: 4B value + 4B colidx per nnz)
     hbm_gbps = {"TPU v5 lite": 819.0, "TPU v5e": 819.0,
-                "TPU v4": 1228.0, "TPU v6 lite": 1640.0}
+                "TPU v4": 1228.0, "TPU v6 lite": 1640.0, "TPU v6e": 1640.0}
     kind = getattr(dev, "device_kind", "")
     bw = next((v for k, v in hbm_gbps.items() if k in kind), 819.0)
     csr_sol_gnnz = bw / 8.0
     vs = gnnz_s / csr_sol_gnnz
 
     # --- KLE solve per timestep at fixed residual
-    vort = p.operator.curl(v)
-
-    @jax.jit
-    def kle_solve(w, vel):
-        return p.kle.solve(w, vel)
-
-    t_solve = timeit(kle_solve, vort, 0.0 * v, reps=5, warmup=2)
-    log(f"KLE CG solve (rtol={p.kle.main.cg_rtol:g}): {t_solve*1e3:.2f} ms")
+    vort = E.curl(ops, v)
+    vel0 = jnp.zeros_like(v)
+    solve = jax.jit(E.solve_kle_local)
+    t_solve = timed(solve, ops, vort, vel0, 0.0, reps=3)
+    log(f"KLE solve (two-stage NS, rtol={ops.cg_rtol:g}): "
+        f"{t_solve*1e3:.2f} ms")
 
     # --- full RHS evaluation
-    rhs = jax.jit(p.rhs)
-    t_rhs = timeit(rhs, 0.0, vort, 0.0 * v, reps=5, warmup=2)
+    rhs = jax.jit(E.rhs_local)
+    t_rhs = timed(rhs, ops, 0.0, vort, vel0, reps=3)
     log(f"full RHS eval: {t_rhs*1e3:.2f} ms")
 
     print(json.dumps({

@@ -110,6 +110,7 @@ class Problem:
 
         self._build_operators()
         self._build_kle_solver()
+        self._build_engine()
         self.vort, self.vel = self._initial_conditions()
 
     def _build_operators(self):
@@ -118,6 +119,7 @@ class Problem:
             else mesh.cell_corners
         self._em = compute_kle_matrices(basis, corners)
         eo = compute_operators(basis, corners)
+        self._eo = eo
         mk = lambda m, din, dout: make_element_op(
             m, mesh.cell_nodes, mesh.incidence, din, dout, mesh.n_nodes,
             dtype=self.dtype)
@@ -163,6 +165,39 @@ class Problem:
         logger.info("KLE solver: %s (%d free dofs / %d nodes)", method,
                     n_free, mesh.n_nodes)
 
+    def _build_engine(self):
+        """Build the element-local execution engine (the TPU hot path).
+
+        Used for every iterative (CG) solve; the dense-direct method keeps
+        the global-layout path (its Cholesky factor lives on the global dof
+        vector). Disable explicitly with engine=False."""
+        use = self.opts.get("engine", self.solver_method == "cg")
+        self.engine_ops = None
+        self._jit_solve_local = None
+        self._jit_rhs_local = None
+        if not use:
+            return
+        from pynama_tpu.engine import build_engine
+        cfg = get_config()
+        eo = self._eo
+        self.engine_ops = build_engine(
+            self.mesh, self.bc, em_K=self._em.K, em_Rw=self._em.Rw,
+            op_curl=eo.Curl, op_srt=eo.SrT, op_div=eo.DivSrT,
+            op_weight=eo.weight, rho=self.rho, mu=self.mu, dtype=self.dtype,
+            cg_rtol=self.opts.get("cg_rtol", cfg.cg_rtol),
+            cg_atol=self.opts.get("cg_atol", cfg.cg_atol),
+            cg_maxiter=self.opts.get("cg_maxiter", cfg.cg_maxiter))
+
+    # ------------------------------------------------- local layout shuttles
+    def to_local(self, x):
+        from pynama_tpu.ops import local as L
+        return jnp.asarray(L.to_local(self.mesh, np.asarray(x)),
+                           dtype=self.dtype)
+
+    def to_global(self, t, ncomp):
+        from pynama_tpu.ops import local as L
+        return L.to_global(self.mesh, np.asarray(t), ncomp)
+
     def _initial_conditions(self):
         """reference setUpInitialConditions (base_problem.py:181-226)."""
         n = self.mesh.n_nodes
@@ -188,6 +223,14 @@ class Problem:
         """Apply BCs and run the (possibly two-stage) KLE solve
         (evalRHS pre-solve chain, base_problem.py:115-125)."""
         t = self.start_time if t is None else t
+        if self.engine_ops is not None:
+            from pynama_tpu.engine import solve_kle_local
+            if self._jit_solve_local is None:
+                self._jit_solve_local = jax.jit(solve_kle_local)
+            vort_l, vel_l = self._jit_solve_local(
+                self.engine_ops, self.to_local(vort), self.to_local(vel), t)
+            return (jnp.asarray(self.to_global(vort_l, self.dim_w)),
+                    jnp.asarray(self.to_global(vel_l, self.dim)))
         vort = self.bc.apply_vorticity(vort, t, self.nu)
         vel = self.bc.apply_velocity(vel, t, self.nu)
         if self.kle.is_ns:
@@ -218,6 +261,9 @@ class Problem:
         if dt0 is None:
             dt0 = (self.end_time - self.start_time) / (10 * self.max_steps)
 
+        if self.engine_ops is not None:
+            return self._start_solver_local(post_step, dt0, atol, rtol)
+
         def _post(step, t, dt, y, aux):
             logger.info("Converged: Step %4d | Time %.4e | dt %.2e",
                         step, t, dt)
@@ -232,6 +278,35 @@ class Problem:
             dt0=dt0, max_steps=self.max_steps, atol=atol, rtol=rtol,
             post_step=_post, accept_fn=_accept)
         self.vort, self.vel = vort, vel
+        return t, steps
+
+    def _start_solver_local(self, post_step, dt0, atol, rtol):
+        """Adaptive integration entirely in the element-local layout; state
+        is converted at the boundaries of the run (and per save when a
+        post_step consumer is attached)."""
+        from pynama_tpu.engine import (apply_vorticity_bc, rhs_local)
+        from pynama_tpu.engine.local_engine import rk_error_norm
+
+        def _rhs(t, y, aux, ops):
+            return rhs_local(ops, t, y, aux)
+
+        def _post(step, t, dt, y, aux):
+            logger.info("Converged: Step %4d | Time %.4e | dt %.2e",
+                        step, t, dt)
+            if post_step is not None:
+                post_step(step, t, dt, self.to_global(y, self.dim_w),
+                          self.to_global(aux, self.dim))
+
+        t, vort_l, vel_l, steps = adaptive_solve(
+            _rhs, self.start_time, self.end_time,
+            self.to_local(self.vort), self.to_local(self.vel),
+            dt0=dt0, max_steps=self.max_steps, atol=atol, rtol=rtol,
+            post_step=_post,
+            accept_fn=lambda t, y, ops: apply_vorticity_bc(ops, y, t),
+            params=self.engine_ops,
+            err_norm=lambda e, ops: rk_error_norm(ops, e))
+        self.vort = jnp.asarray(self.to_global(vort_l, self.dim_w))
+        self.vel = jnp.asarray(self.to_global(vel_l, self.dim))
         return t, steps
 
     # ------------------------------------------------------------ test suite

@@ -1,0 +1,227 @@
+"""Element-local execution engine: the TPU-native hot path.
+
+Canonical state layout for all solver-side fields is the *local vector*:
+``(n_cells, nnode_el * ncomp)`` — every element owns a private copy of its
+nodes. This is the classic accelerator SEM design (gather-free): a global
+sparse operator application (the reference's assembled PETSc MatMult,
+`src/matrices/mat_fs.py:131-201`, `base_problem.py:123-136`) becomes
+
+    compute : z = x_local @ K_e^T            ONE well-shaped MXU matmul
+    DSS     : per-axis interface-plane adds  slices/pads on (lead,ne,trail,B)
+    reorder : axis-major column permutations small MXU matmuls
+
+Why this shape: TPU tiles the two minor dimensions to (8,128); any tensor
+whose trailing dims are tiny (e.g. the naive (e0,N,e1,N,e2,N,c) grid view,
+N=4, c=3) runs at ~1% lane utilization. Here every array in the hot path is
+2D/4D with a large trailing axis, so the VPU/MXU run at full tilt.
+
+Direct stiffness summation (DSS) exchanges interface-plane partial sums so
+every duplicated node slot holds the fully assembled value. It is done
+dimension-by-dimension; correctness for edge/corner nodes shared by up to
+2**dim elements follows from linearity of the per-axis exchanges. To keep
+each axis's plane a *contiguous trailing block* of the column axis, columns
+are permuted to that axis's "major" ordering first — a (nnc x nnc)
+permutation matmul, far cheaper on TPU than a strided relayout.
+
+Global<->local conversion (setup/IO only, not in the hot path) mirrors
+PETSc's VecScatter begin/end pairs.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------- orderings
+def _axis_major_order(dim: int, axis: int) -> tuple:
+    """Local-axis permutation putting `axis` slowest (most significant)."""
+    rest = [d for d in range(dim) if d != axis]
+    return (axis, *rest)
+
+
+def _local_col_index(ngl: int, dim: int, ncomp: int, order: tuple) -> np.ndarray:
+    """Column index table: for each column j of the `order`-major layout,
+    the column in the canonical (0,1[,2])-major layout holding that dof.
+
+    Canonical column = (a0*N^{d-1} + a1*N^{d-2} + ...) * ncomp + comp with
+    a_d the local index along mesh axis d (tensor order, axis 0 slowest —
+    matching `BoxMesh.cell_nodes` and the element matrices).
+    """
+    N = ngl
+    shape = (N,) * dim + (ncomp,)
+    canon = np.arange(N**dim * ncomp).reshape(shape)
+    permuted = np.transpose(canon, tuple(order) + (dim,))
+    return permuted.reshape(-1)
+
+
+def _perm_matrix(src: np.ndarray, dst: np.ndarray, dtype) -> np.ndarray:
+    """Dense P moving a row vector from layout `src` to layout `dst`:
+    (t_src @ P)[:, j] = value of dst column j. src/dst map their layout's
+    columns to canonical columns."""
+    n = src.size
+    inv_src = np.empty(n, dtype=np.int64)
+    inv_src[src] = np.arange(n)
+    idx = inv_src[dst]           # src-layout column feeding dst column j
+    P = np.zeros((n, n), dtype=dtype)
+    P[idx, np.arange(n)] = 1.0
+    return P
+
+
+# ------------------------------------------------------------------ layout
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LocalLayout:
+    """Hot-path tables for one (nelem, ngl, ncomp) local representation.
+
+    perms[d] maps axis-d-major -> axis-(d+1 mod dim)-major column order;
+    applying them in sequence after per-axis DSS rotates the layout through
+    all axis-major orders and back to canonical.
+    """
+    perms: tuple                     # dim dense (nnc, nnc) jax arrays
+    inv_mult: jax.Array              # (E, nnc) 1/slot-multiplicity
+    ngl: int = dataclasses.field(metadata=dict(static=True))
+    nelem: tuple = dataclasses.field(metadata=dict(static=True))
+    ncomp: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dim(self):
+        return len(self.nelem)
+
+    @property
+    def n_cells(self):
+        return int(np.prod(self.nelem))
+
+    @property
+    def nnode_el(self):
+        return self.ngl ** self.dim
+
+    @property
+    def nnc(self):
+        return self.nnode_el * self.ncomp
+
+    @property
+    def plane_cols(self):
+        """Columns in one local axis-plane (trailing block in axis-major)."""
+        return (self.nnode_el // self.ngl) * self.ncomp
+
+
+def make_local_layout(mesh, ncomp: int, dtype=jnp.float32) -> LocalLayout:
+    dim = mesh.dim
+    cell_nodes = np.asarray(mesh.cell_nodes)
+    orders = [_axis_major_order(dim, d) for d in range(dim)]
+    cols = [_local_col_index(mesh.ngl, dim, ncomp, o) for o in orders]
+    np_dtype = np.dtype(dtype)
+    perms = tuple(
+        jnp.asarray(_perm_matrix(cols[d], cols[(d + 1) % dim], np_dtype))
+        for d in range(dim))
+    counts = np.bincount(cell_nodes.ravel(), minlength=mesh.n_nodes)
+    mult = counts[cell_nodes]                      # (E, nnode)
+    inv = (1.0 / mult).astype(np_dtype)
+    inv_mult = jnp.asarray(np.repeat(inv, ncomp, axis=1))
+    return LocalLayout(perms=perms, inv_mult=inv_mult, ngl=mesh.ngl,
+                       nelem=tuple(mesh.nelem), ncomp=int(ncomp))
+
+
+# -------------------------------------------------------- global <-> local
+def to_local(mesh, x_global) -> np.ndarray:
+    """(n_nodes, ncomp) -> (E, nnode*ncomp) canonical-order local vector.
+
+    Setup/IO only (host-side gather, the VecScatter analog)."""
+    xg = np.asarray(x_global)
+    E, nn = mesh.cell_nodes.shape
+    return xg[np.asarray(mesh.cell_nodes)].reshape(E, nn * xg.shape[-1])
+
+
+def to_global(mesh, t_local, ncomp: int) -> np.ndarray:
+    """(E, nnode*ncomp) consistent local vector -> (n_nodes, ncomp)."""
+    E, nn = mesh.cell_nodes.shape
+    t = np.asarray(t_local).reshape(E * nn, ncomp)
+    out = np.zeros((mesh.n_nodes, ncomp), dtype=t.dtype)
+    out[np.asarray(mesh.cell_nodes).reshape(-1)] = t
+    return out
+
+
+# ---------------------------------------------------------------- DSS core
+def _dss_axis_major(t: jax.Array, nelem: tuple, axis: int, nnc: int,
+                    plane: int, axis_name=None) -> jax.Array:
+    """Interface-plane exchange along mesh `axis`, with t's columns in
+    axis-major order: local plane 0 = first `plane` columns, plane N-1 =
+    last `plane` columns. t: (E, nnc).
+
+    With `axis_name` set (shard_map slab decomposition along mesh axis 0),
+    the axis-0 exchange additionally ppermutes the outermost interface
+    planes with the neighboring shards — the ICI analog of PETSc's
+    VecScatter inside a distributed MatMult (SURVEY §2.3)."""
+    ne = nelem[axis]
+    lead = int(np.prod(nelem[:axis]))
+    trail = int(np.prod(nelem[axis + 1:]))
+    g = t.reshape(lead, ne, trail, nnc)
+    if ne > 1:
+        from_prev = g[:, :-1, :, nnc - plane:]    # left nbr's last plane
+        from_next = g[:, 1:, :, :plane]           # right nbr's 0 plane
+        g = g + jnp.pad(from_prev,
+                        ((0, 0), (1, 0), (0, 0), (0, nnc - plane))) \
+              + jnp.pad(from_next,
+                        ((0, 0), (0, 1), (0, 0), (nnc - plane, 0)))
+    if axis == 0 and axis_name is not None:
+        nd = jax.lax.axis_size(axis_name)
+        if nd > 1:
+            fwd = [(i, i + 1) for i in range(nd - 1)]
+            bwd = [(i + 1, i) for i in range(nd - 1)]
+            send_r = g[:, -1, :, nnc - plane:]    # my last plane partials
+            send_l = g[:, 0, :, :plane]           # my first plane partials
+            from_left = jax.lax.ppermute(send_r, axis_name, fwd)
+            from_right = jax.lax.ppermute(send_l, axis_name, bwd)
+            g = g.at[:, 0, :, :plane].add(from_left)
+            g = g.at[:, -1, :, nnc - plane:].add(from_right)
+    return g.reshape(-1, nnc)
+
+
+def dss(layout: LocalLayout, t: jax.Array, axis_name=None) -> jax.Array:
+    """Full direct-stiffness summation: canonical-order in/out, every
+    duplicated slot assembled (globally, when `axis_name` names a shard_map
+    mesh axis for the slab decomposition)."""
+    nnc, plane = layout.nnc, layout.plane_cols
+    for d in range(layout.dim):
+        t = _dss_axis_major(t, layout.nelem, d, nnc, plane,
+                            axis_name=axis_name)
+        t = t @ layout.perms[d]        # rotate to next axis-major (MXU)
+    return t
+
+
+def local_dot(layout: LocalLayout, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Global inner product of two consistent local vectors."""
+    return jnp.sum(a * b * layout.inv_mult)
+
+
+# ------------------------------------------------------------------ LocalOp
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LocalOp:
+    """Element operator executing in the local layout.
+
+    matT is the element matrix transposed ((nnode*din, nnode*dout)), rows
+    and columns in canonical tensor order (same convention as ElementOp)."""
+    matT: jax.Array
+    layout_out: LocalLayout
+
+
+def make_local_op(mat, layout_out: LocalLayout, dtype=None) -> LocalOp:
+    matT = jnp.asarray(np.asarray(mat).T, dtype=dtype)
+    return LocalOp(matT=matT, layout_out=layout_out)
+
+
+def apply_local_op(op: LocalOp, t: jax.Array) -> jax.Array:
+    """y_local = DSS(x_local @ K^T): assembled operator application."""
+    return dss(op.layout_out, t @ op.matT)
+
+
+def local_diagonal(op: LocalOp) -> jax.Array:
+    """Assembled diagonal in local layout, (E, nnc)."""
+    lo = op.layout_out
+    d = jnp.diagonal(op.matT)
+    de = jnp.tile(d[None, :], (lo.n_cells, 1))
+    return dss(lo, de)

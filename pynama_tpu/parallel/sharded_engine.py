@@ -1,0 +1,161 @@
+"""Slab-sharded execution of the element-local engine over a device mesh.
+
+TPU-native replacement for the reference's DMPlex.distribute + PETSc
+distributed MatMult/VecDot (`src/domain/dmplex.py:21`, SURVEY §2.3): the
+element array is cut into contiguous slabs along mesh axis 0 (elements are
+e0-major, so the split is a pure reshape of every per-element array), and the
+SAME engine code runs on every shard under `shard_map` — `ops.axis_name`
+makes the axis-0 DSS ppermute interface-plane partial sums with neighbor
+shards and turns CG dots / RK error norms into psums.
+
+The shard-local EngineOps is the global one with:
+  * every per-element array reshaped (ndev, E_loc, ...) and sharded on the
+    leading device axis,
+  * shared arrays (element matrices, layout perms) broadcast-stacked on the
+    same leading axis (uniform in_specs; a few hundred KB of duplication),
+  * layout statics rewritten for the local slab nelem,
+  * func-side scatter rows localized per shard and padded to equal length
+    (out-of-slab rows -> sentinel, dropped by the scatter's OOB mode).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pynama_tpu.engine import local_engine as E
+from pynama_tpu.ops import local as L
+from pynama_tpu.solver.timestep import get_tableau, make_step
+
+AXIS = "dp"
+
+
+def build_sharded_ops(ops: E.EngineOps, ndev: int) -> E.EngineOps:
+    """Stack/split the global EngineOps into the (ndev, ...) sharded form."""
+    ne0 = ops.nelem[0]
+    if ne0 % ndev != 0:
+        raise ValueError(f"nelem[0]={ne0} not divisible by {ndev} devices")
+    local_nelem = (ne0 // ndev,) + tuple(ops.nelem[1:])
+
+    def split(x):          # per-element data: (E, ...) -> (ndev, E_loc, ...)
+        return x.reshape((ndev, -1) + x.shape[1:])
+
+    def bcast(x):          # shared data -> (ndev, ...) stacked copies
+        return jnp.broadcast_to(x[None], (ndev,) + x.shape)
+
+    def relay(lay):
+        return dataclasses.replace(
+            lay, inv_mult=split(lay.inv_mult),
+            perms=tuple(bcast(p) for p in lay.perms),
+            nelem=tuple(local_nelem))
+
+    E_loc = int(np.prod(local_nelem))
+    nn = ops.nn
+    fs_out = []
+    for fs in ops.func_sides:
+        rows = np.asarray(fs.rows)
+        coords = np.asarray(fs.coords)
+        shard_of = rows // (E_loc * nn)
+        local_rows = rows - shard_of * (E_loc * nn)
+        kmax = max(int((shard_of == d).sum()) for d in range(ndev)) or 1
+        rws = np.full((ndev, kmax), E_loc * nn, dtype=rows.dtype)
+        cds = np.zeros((ndev, kmax, coords.shape[1]), dtype=coords.dtype)
+        for d in range(ndev):
+            m = shard_of == d
+            k = int(m.sum())
+            rws[d, :k] = local_rows[m]
+            cds[d, :k] = coords[m]
+        fs_out.append(dataclasses.replace(
+            fs, rows=jnp.asarray(rws), coords=jnp.asarray(cds)))
+
+    return dataclasses.replace(
+        ops,
+        KT=bcast(ops.KT), RwT=bcast(ops.RwT), curlT=bcast(ops.curlT),
+        srtT=bcast(ops.srtT), divT=bcast(ops.divT),
+        lay_v=relay(ops.lay_v), lay_w=relay(ops.lay_w),
+        lay_s=relay(ops.lay_s),
+        winv_v=split(ops.winv_v), winv_w=split(ops.winv_w),
+        winv_s=split(ops.winv_s),
+        free_main=split(ops.free_main), free_fs=split(ops.free_fs),
+        diag=split(ops.diag),
+        mask_vel=split(ops.mask_vel), mask_vort=split(ops.mask_vort),
+        mask_tang=split(ops.mask_tang),
+        const_vel=split(ops.const_vel), const_vort=split(ops.const_vort),
+        const_tang=split(ops.const_tang),
+        func_sides=tuple(fs_out),
+        P_v2cm=bcast(ops.P_v2cm), P_cm2s=bcast(ops.P_cm2s),
+        rho=jnp.broadcast_to(ops.rho, (ndev,)),
+        mu=jnp.broadcast_to(ops.mu, (ndev,)),
+        nu=jnp.broadcast_to(ops.nu, (ndev,)),
+        nelem=local_nelem, axis_name=AXIS)
+
+
+class ShardedEngine:
+    """shard_map runtime for a Problem's EngineOps over a 1D device mesh."""
+
+    def __init__(self, problem, ndev: int, devices=None):
+        assert problem.engine_ops is not None, "Problem built without engine"
+        self.p = problem
+        self.ndev = ndev
+        devices = devices if devices is not None else jax.devices()[:ndev]
+        self.mesh = Mesh(np.array(devices), (AXIS,))
+        self.ops_s = build_sharded_ops(problem.engine_ops, ndev)
+        self._spec_ops = jax.tree.map(lambda _: P(AXIS), self.ops_s)
+        self._spec_state = P(AXIS)
+
+    # ------------------------------------------------------------ state utils
+    def shard_state(self, vort_g, vel_g):
+        """Global nodal fields -> sharded local-layout device arrays."""
+        p = self.p
+        vort_l = np.asarray(p.to_local(vort_g)).reshape(
+            (self.ndev, -1) + (p.engine_ops.lay_w.nnc,))
+        vel_l = np.asarray(p.to_local(vel_g)).reshape(
+            (self.ndev, -1) + (p.engine_ops.lay_v.nnc,))
+        sh = NamedSharding(self.mesh, P(AXIS))
+        return (jax.device_put(jnp.asarray(vort_l), sh),
+                jax.device_put(jnp.asarray(vel_l), sh))
+
+    def gather_state(self, t_s, ncomp):
+        flat = np.asarray(t_s).reshape(-1, np.asarray(t_s).shape[-1])
+        return self.p.to_global(flat, ncomp)
+
+    # ---------------------------------------------------------------- kernels
+    def make_rhs(self):
+        """jit(shard_map(rhs_local)): (ops_s, t, vort_s, vel_s) sharded."""
+        def body(ops_s, t, vort, vel):
+            ops = jax.tree.map(lambda x: x[0], ops_s)
+            f, v = E.rhs_local(ops, t, vort[0], vel[0])
+            return f[None], v[None]
+
+        fn = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(self._spec_ops, P(), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False)
+        return jax.jit(fn)
+
+    def make_attempt(self, tableau="5bs", atol=1e-4, rtol=1e-4):
+        """One full adaptive-RK trial step (8 stages x two-stage KLE solve),
+        sharded: the framework's 'training step'."""
+        tab = get_tableau(tableau)
+
+        def body(ops_s, t, dt, vort, vel):
+            ops = jax.tree.map(lambda x: x[0], ops_s)
+
+            def rhs(tt, y, aux):
+                return E.rhs_local(ops, tt, y, aux)
+
+            def err_norm(e):
+                return E.rk_error_norm(ops, e)
+
+            att = make_step(rhs, tab, atol, rtol, err_norm=err_norm)
+            res = att(t, dt, vort[0], vel[0])
+            return res.y[None], res.enorm, res.aux[None]
+
+        fn = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(self._spec_ops, P(), P(), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(), P(AXIS)), check_vma=False)
+        return jax.jit(fn)

@@ -88,7 +88,7 @@ class StepResult(NamedTuple):
 
 
 def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float,
-              err_norm: Optional[Callable] = None):
+              err_norm: Optional[Callable] = None, with_params: bool = False):
     """Build the jittable single-attempt stepper.
 
     rhs(t, y, aux) -> (dy/dt, aux). Returns attempt(t, dt, y, aux) ->
@@ -96,12 +96,19 @@ def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float,
     (y5 - y4) against atol + rtol*max(|y|, |y5|). `err_norm(e)` overrides
     the RMS reduction (the sharded path passes an ownership-masked psum
     norm).
+
+    With `with_params=True` the stepper takes an extra operator-pytree
+    argument threaded to rhs(t, y, aux, params) and err_norm(e, params):
+    attempt(t, dt, y, aux, params). Passing operators as an ARGUMENT (not a
+    closure) keeps their arrays out of the compiled program's constants —
+    embedded multi-MB constants make XLA compiles pathological.
     """
     s = len(tableau.c)
     if err_norm is None:
-        err_norm = lambda e: jnp.sqrt(jnp.mean(e * e))
+        err_norm = (lambda e, p: jnp.sqrt(jnp.mean(e * e))) if with_params \
+            else (lambda e: jnp.sqrt(jnp.mean(e * e)))
 
-    def attempt(t, dt, y, aux):
+    def attempt(t, dt, y, aux, *params):
         a = tableau.a
         ks = []
         for i in range(s):
@@ -109,7 +116,7 @@ def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float,
             for j in range(i):
                 if a[i, j] != 0.0:
                     yi = yi + (dt * a[i, j]) * ks[j]
-            ki, aux = rhs(t + tableau.c[i] * dt, yi, aux)
+            ki, aux = rhs(t + tableau.c[i] * dt, yi, aux, *params)
             ks.append(ki)
         y5 = y
         y4 = y
@@ -120,7 +127,7 @@ def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float,
                 y4 = y4 + (dt * tableau.b_emb[j]) * ks[j]
         w = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
         e = (y5 - y4) / w
-        enorm = err_norm(e)
+        enorm = err_norm(e, *params)
         return StepResult(y=y5, enorm=enorm, aux=aux)
 
     return attempt
@@ -132,7 +139,8 @@ def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
                    tableau: str = "5bs", safety: float = 0.9,
                    clip: tuple = (0.1, 10.0), dt_min: float = 1e-14,
                    post_step: Optional[Callable] = None,
-                   accept_fn: Optional[Callable] = None, jit: bool = True):
+                   accept_fn: Optional[Callable] = None, jit: bool = True,
+                   params=None, err_norm: Optional[Callable] = None):
     """Adaptive integration from t0 to t_end (MATCHSTEP semantics).
 
     post_step(step, t, dt, y, aux) fires on every accepted step
@@ -140,18 +148,25 @@ def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
     accept_fn(t, y) -> y transforms every accepted state — used to pin
     boundary values on the evolved state, matching the reference's in-place
     BC application to the TS solution vector (base_problem.py:115).
+
+    When `params` is given (an operator pytree), rhs/err_norm/accept_fn take
+    it as a trailing argument and it is passed through the jit boundary as
+    data — never baked into the program as constants.
     Returns (t, y, aux, accepted_steps).
     """
     tab = get_tableau(tableau)
-    attempt = make_step(rhs, tab, atol, rtol)
+    with_params = params is not None
+    attempt = make_step(rhs, tab, atol, rtol, err_norm=err_norm,
+                        with_params=with_params)
     if jit:
         attempt = jax.jit(attempt)
+    pargs = (params,) if with_params else ()
     expo = -1.0 / tab.order
     t, y, aux, dt = float(t0), y0, aux0, float(dt0)
     step = 0
     while step < max_steps and t < t_end - 1e-14 * max(1.0, abs(t_end)):
         dt = min(dt, t_end - t)
-        res = attempt(t, dt, y, aux)
+        res = attempt(t, dt, y, aux, *pargs)
         enorm = float(res.enorm)
         if not np.isfinite(enorm):
             dt *= 0.25
@@ -165,7 +180,7 @@ def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
             step += 1
             y, aux = res.y, res.aux
             if accept_fn is not None:
-                y = accept_fn(t, y)
+                y = accept_fn(t, y, *pargs)
             if post_step is not None:
                 post_step(step, t, dt, y, aux)
             dt = dt * factor

@@ -1,0 +1,106 @@
+"""Sharded local-engine vs single-device engine equivalence (8 virtual CPU
+devices, the cheap analog of a TPU slice — conftest forces the device
+count)."""
+import jax
+import numpy as np
+import pytest
+
+from pynama_tpu.cases import Problem
+from pynama_tpu.engine import local_engine as E
+from pynama_tpu.parallel.sharded_engine import ShardedEngine
+
+
+def cavity_config(nelem0=8, ngl=3, dim=2):
+    zero = [0] * dim
+    ns = {"up": [1.0] + [0] * (dim - 1), "down": zero, "left": zero,
+          "right": zero}
+    if dim == 3:
+        ns["back"] = zero
+        ns["front"] = zero
+    nelem = [nelem0] + [2] * (dim - 1)
+    return {
+        "name": "cavity",
+        "material-properties": {"rho": 1.0, "mu": 0.02},
+        "domain": {"ngl": ngl, "box-mesh": {
+            "nelem": nelem, "lower": zero, "upper": [1] * dim}},
+        "time-solver": {"start-time": 0, "end-time": 0.01, "max-steps": 20},
+        "boundary-conditions": {"no-slip": ns},
+        "initial-conditions": {"vorticity": [0] * (1 if dim == 2 else 3)},
+    }
+
+
+def tg_config(nelem0=8, ngl=3):
+    return {
+        "name": "tg",
+        "material-properties": {"rho": 0.5, "mu": 0.01},
+        "domain": {"ngl": ngl, "box-mesh": {
+            "nelem": [nelem0, 2], "lower": [0, 0], "upper": [1, 1]}},
+        "time-solver": {"start-time": 0, "end-time": 0.1, "max-steps": 50},
+        "boundary-conditions": {"custom-func": {
+            "name": "taylor_green",
+            "attributes": ["velocity", "vorticity", "alpha"]}},
+        "initial-conditions": {"custom-func": {"name": "taylor_green"}},
+        "tests": {"custom-func": {"name": "taylor_green"}},
+    }
+
+
+@pytest.mark.parametrize("ndev", [1, 4, 8])
+@pytest.mark.parametrize("cfg_fn", [cavity_config, tg_config])
+def test_sharded_rhs_matches(ndev, cfg_fn):
+    p = Problem(cfg_fn(), solver="cg", cg_rtol=1e-13, cg_maxiter=4000)
+    p.setUp()
+    rng = np.random.default_rng(0)
+    vort = rng.standard_normal((p.mesh.n_nodes, p.dim_w))
+    vel = np.zeros((p.mesh.n_nodes, p.dim))
+
+    f_ref, vel_ref = E.rhs_local(p.engine_ops, 0.1, p.to_local(vort),
+                                 p.to_local(vel))
+    f_ref = p.to_global(f_ref, p.dim_w)
+
+    sk = ShardedEngine(p, ndev)
+    rhs = sk.make_rhs()
+    vort_s, vel_s = sk.shard_state(vort, vel)
+    f_s, vel_s_out = rhs(sk.ops_s, 0.1, vort_s, vel_s)
+    f_got = sk.gather_state(f_s, p.dim_w)
+    np.testing.assert_allclose(f_got, f_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_sharded_attempt_matches():
+    """Full RK trial step: sharded result and error norm match 1-device."""
+    p = Problem(cavity_config(8, 3, 2), solver="cg", cg_rtol=1e-13,
+                cg_maxiter=4000)
+    p.setUp()
+    rng = np.random.default_rng(2)
+    vort = 0.1 * rng.standard_normal((p.mesh.n_nodes, p.dim_w))
+    vel = np.zeros((p.mesh.n_nodes, p.dim))
+
+    results = {}
+    for ndev in (1, 8):
+        sk = ShardedEngine(p, ndev)
+        att = sk.make_attempt(atol=1e-6, rtol=1e-6)
+        vort_s, vel_s = sk.shard_state(vort, vel)
+        y, enorm, aux = att(sk.ops_s, 0.0, 1e-4, vort_s, vel_s)
+        results[ndev] = (sk.gather_state(y, p.dim_w), float(enorm))
+
+    y1, e1 = results[1]
+    y8, e8 = results[8]
+    np.testing.assert_allclose(y8, y1, rtol=1e-8, atol=1e-10)
+    assert abs(e1 - e8) < 1e-8 * max(1.0, abs(e1))
+
+
+def test_sharded_3d():
+    p = Problem(cavity_config(4, 3, 3), solver="cg", cg_rtol=1e-12,
+                cg_maxiter=3000)
+    p.setUp()
+    rng = np.random.default_rng(3)
+    vort = rng.standard_normal((p.mesh.n_nodes, 3))
+    vel = np.zeros((p.mesh.n_nodes, 3))
+    f_ref, _ = E.rhs_local(p.engine_ops, 0.0, p.to_local(vort),
+                           p.to_local(vel))
+    f_ref = p.to_global(f_ref, 3)
+    sk = ShardedEngine(p, 4)
+    rhs = sk.make_rhs()
+    vort_s, vel_s = sk.shard_state(vort, vel)
+    f_s, _ = rhs(sk.ops_s, 0.0, vort_s, vel_s)
+    np.testing.assert_allclose(sk.gather_state(f_s, 3), f_ref,
+                               rtol=1e-7, atol=1e-8)
