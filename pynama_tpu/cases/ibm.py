@@ -1,0 +1,160 @@
+"""Immersed-boundary flow cases (direct forcing).
+
+Functional port of reference `src/cases/immersed_boundary.py`:
+
+  ImmersedBoundaryStatic  — fixed body; interpolation tables built once
+                            (`immersed_boundary.py:19-55, 181-207`)
+  ImmersedBoundaryDynamic — prescribed body motion; tables + normal-system
+                            factor recomputed every step — here a
+                            fixed-shape jitted recompute instead of a PETSc
+                            matrix rebuild (`immersed_boundary.py:286-385`)
+
+Per accepted time step (startSolver loop, `immersed_boundary.py:56-113`):
+    1. one adaptive-RK step of the vorticity transport
+    2. KLE solve (BCs + velocity from vorticity)
+    3. velocity correction: solve C z = -(H v - v_body); v += S z
+    4. vorticity <- curl(v); continue from the corrected state
+Drag/lift histories from the virtual flux go to <case>.yaml
+(`immersed_boundary.py:325-348`).
+"""
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynama_tpu.cases.problem import Problem
+from pynama_tpu.ibm.bodies import BodiesContainer
+from pynama_tpu.ibm import interpolation as I
+from pynama_tpu.solver.timestep import AdaptiveStepper
+from pynama_tpu.utils import Timer
+
+logger = logging.getLogger("pynama_tpu.ibm")
+
+
+class ImmersedBoundaryStatic(Problem):
+    def setUp(self):
+        super().setUp()
+        assert self.dim == 2, "IBM implemented for 2D (as the reference)"
+        assert self.ngl < 4, "IBM Only implemented for NGL lower than 4"
+        self.h = self.mesh.node_separation()
+        self.U_ref = self._free_stream_velocity()
+        self.body = BodiesContainer(self.config["bodies"])
+        self.body.create_bodies(self.h)
+        self.body.set_vel_ref(self.U_ref)
+        logger.info("Node separation: %g, body nodes: %d", self.h,
+                    self.body.n_nodes)
+        self.ibm_ops = I.make_ibm_ops(self.mesh, self.body.dl,
+                                      dtype=self.dtype)
+        self._jit_correction = jax.jit(I.correction, static_argnames="n_nodes")
+        self._jit_tables = jax.jit(I.support_tables)
+        self._build_interpolation()
+
+    def _free_stream_velocity(self) -> float:
+        """|u| of the uniform boundary condition (reference
+        getFreeStreamVelocity via `boundary_conditions.py:87-114`)."""
+        for s in self.bc.sides:
+            if s.velocity is not None:
+                return float(np.linalg.norm(s.velocity))
+        return 1.0
+
+    def _build_interpolation(self):
+        xy = jnp.asarray(self.body.coordinates(), dtype=self.dtype)
+        self.nodes_tab, self.w_tab = self._jit_tables(self.ibm_ops, xy)
+        C = I.normal_core(self.ibm_ops, self.nodes_tab, self.w_tab)
+        self.chol = jnp.linalg.cholesky(C)
+
+    # ----------------------------------------------------------- correction
+    def velocity_correction(self, vel, t):
+        """v += S C^-1 (v_body - H v); returns (vel, virtual_flux)."""
+        body_vel = jnp.asarray(self.body.velocities(), dtype=self.dtype)
+        corr, flux = self._jit_correction(
+            self.ibm_ops, self.nodes_tab, self.w_tab, self.chol,
+            jnp.asarray(vel), body_vel, n_nodes=self.mesh.n_nodes)
+        return jnp.asarray(vel) + corr, flux
+
+    # -------------------------------------------------------------- running
+    def start_solver(self, post_step=None, dt0=None, atol=1e-4, rtol=1e-4):
+        if dt0 is None:
+            dt0 = (self.end_time - self.start_time) / (10 * self.max_steps)
+        save_every = int(self.config.get("save-n-steps", 10))
+        force_every = max(1, save_every // 10)
+
+        stepper = AdaptiveStepper(self.rhs, atol=atol, rtol=rtol)
+        stepper.dt = float(dt0)
+
+        # initial condition (computeInitialCondition,
+        # immersed_boundary.py:131-141)
+        t = self.start_time
+        vort, vel = self.solve_kle(self.vort, self.vel, t)
+        vel, flux = self.velocity_correction(vel, t)
+        vort = self.operator.curl(vel)
+
+        hist = {"times": [], "cd": [], "cl": [], "dt": [], "steps": [],
+                "elapsedTimes": []}
+        timer = Timer()
+        step = 0
+        while step < self.max_steps and t < self.end_time - 1e-14:
+            timer.tic()
+            t, vort, vel = stepper.step(t, vort, vel, t_max=self.end_time)
+            step += 1
+            vort, vel = self.solve_kle(vort, vel, t)
+            vel, flux = self._per_step_correction(vel, t)
+            vort = self.operator.curl(vel)
+            dt = stepper.dt
+            logger.info("Converged: Step %4d | Time %.4e | DT: %.4e",
+                        step, t, dt)
+            if self.viewer is not None and step % save_every == 0:
+                self._save_step(step, t, vort, vel)
+            if step % force_every == 0:
+                denom = 0.5 * self.U_ref**2
+                fx, fy = self.body.compute_force(np.asarray(flux),
+                                                 denom * dt)
+                hist["times"].append(float(t))
+                hist["cd"].append(fx)
+                hist["cl"].append(fy)
+                hist["dt"].append(float(dt))
+                hist["steps"].append(step)
+                hist["elapsedTimes"].append(timer.toc())
+                if self.viewer is not None:
+                    self.viewer.write_yaml(self.case_name, {
+                        "dh": self.h, "dl": self.body.dl,
+                        "lagPoints": self.body.n_nodes,
+                        "eulerNodes": self.mesh.n_nodes * self.dim_w,
+                        "ngl": self.ngl, **hist})
+            if post_step is not None:
+                post_step(step, t, dt, vort, vel)
+        self.vort, self.vel = vort, vel
+        self.history = hist
+        return t, step
+
+    def _per_step_correction(self, vel, t):
+        return self.velocity_correction(vel, t)
+
+    def _save_step(self, step, t, vort, vel):
+        zone = np.zeros((self.mesh.n_nodes, 1))
+        zone[np.unique(np.asarray(self.nodes_tab))] = 1.0
+        aff = np.zeros((self.mesh.n_nodes, 1))
+        aff[np.unique(np.asarray(self.nodes_tab)[
+            np.asarray(self.w_tab) > 0])] = 1.0
+        self.viewer.save_data(step, t, vorticity=np.asarray(vort),
+                              velocity=np.asarray(vel),
+                              ibm_zone=zone.ravel(),
+                              affected_nodes=aff.ravel())
+        self.viewer.write_xmf(self.case_name)
+
+    def run(self, atol=1e-4, rtol=1e-4, dt0=None):
+        return self.start_solver(atol=atol, rtol=rtol, dt0=dt0)
+
+
+class ImmersedBoundaryDynamic(ImmersedBoundaryStatic):
+    """Moving body: tables + Cholesky recomputed each step — a fixed-shape
+    device recompute (vs the reference's full matrix/KSP rebuild,
+    `immersed_boundary.py:379-385`)."""
+
+    def _per_step_correction(self, vel, t):
+        self.body.update_parameters(t)
+        self._build_interpolation()
+        return self.velocity_correction(vel, t)

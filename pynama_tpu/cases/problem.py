@@ -186,7 +186,8 @@ class Problem:
             op_weight=eo.weight, rho=self.rho, mu=self.mu, dtype=self.dtype,
             cg_rtol=self.opts.get("cg_rtol", cfg.cg_rtol),
             cg_atol=self.opts.get("cg_atol", cfg.cg_atol),
-            cg_maxiter=self.opts.get("cg_maxiter", cfg.cg_maxiter))
+            cg_maxiter=self.opts.get("cg_maxiter", cfg.cg_maxiter),
+            pc=self.opts.get("pc", "jacobi"))
 
     # ------------------------------------------------- local layout shuttles
     def to_local(self, x):
@@ -307,6 +308,31 @@ class Problem:
             err_norm=lambda e, ops: rk_error_norm(ops, e))
         self.vort = jnp.asarray(self.to_global(vort_l, self.dim_w))
         self.vel = jnp.asarray(self.to_global(vel_l, self.dim))
+        return t, steps
+
+    # ------------------------------------------------------------------ viewer
+    def setup_viewer(self):
+        """Configure HDF5/XDMF output (reference Paraviewer.configure +
+        saveMesh, base_problem.py:65-71)."""
+        from pynama_tpu.io import Paraviewer
+        self.viewer = Paraviewer()
+        self.viewer.configure(self.dim, self.config.get("save-dir"))
+        self.viewer.save_mesh(np.asarray(self.mesh.coords))
+
+    def run(self, atol=1e-4, rtol=1e-4, dt0=None):
+        """Production run: integrate + save fields every save-n-steps
+        (reference convergedStepFunction, base_problem.py:93-103)."""
+        save_every = int(self.config.get("save-n-steps", 1))
+
+        def post(step, t, dt, vort, vel):
+            if self.viewer is not None and step % save_every == 0:
+                self.viewer.save_data(step, t, vorticity=np.asarray(vort),
+                                      velocity=np.asarray(vel))
+
+        t, steps = self.start_solver(post_step=post, atol=atol, rtol=rtol,
+                                     dt0=dt0)
+        if self.viewer is not None:
+            self.viewer.write_xmf(self.case_name)
         return t, steps
 
     # ------------------------------------------------------------ test suite

@@ -93,6 +93,9 @@ class EngineOps:
     # v (x) v component shuffles
     P_v2cm: jax.Array          # (nncv, dim*nn) interleaved -> component-major
     P_cm2s: jax.Array          # (dim_s*nn, nncs) component-major -> strain
+    #: element-pseudoinverse for the overlapping-Schwarz preconditioner
+    #: (transposed, (nncv, nncv)); None under pc="jacobi"
+    KinvT: Optional[jax.Array]
     # scalars as 0-d arrays (data, not static — avoids recompiles)
     rho: jax.Array
     mu: jax.Array
@@ -107,6 +110,12 @@ class EngineOps:
     cg_rtol: float = dataclasses.field(metadata=dict(static=True))
     cg_atol: float = dataclasses.field(metadata=dict(static=True))
     cg_maxiter: int = dataclasses.field(metadata=dict(static=True))
+    #: preconditioner: "jacobi" (assembled-diagonal; default — the
+    #: alpha=1e3-penalized K defeats element-block Schwarz, measured 2.7x
+    #: MORE iterations) or "schwarz" (weighted additive overlapping
+    #: Schwarz by element + Jacobi mix, kept for experimentation)
+    pc: str = dataclasses.field(default="jacobi",
+                                metadata=dict(static=True))
     #: shard_map mesh-axis name when running slab-sharded, else None
     axis_name: Optional[str] = dataclasses.field(
         default=None, metadata=dict(static=True))
@@ -144,7 +153,7 @@ def _vtensv_pairs(dim: int):
 
 def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                  rho, mu, dtype, cg_rtol=1e-12, cg_atol=0.0,
-                 cg_maxiter=2000) -> EngineOps:
+                 cg_maxiter=2000, pc="jacobi") -> EngineOps:
     """Assemble the EngineOps pytree from setup-time numpy data.
 
     em_*/op_* are the dense element matrices from `elements/kle.py`
@@ -177,6 +186,19 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                           dtype=npdt)
     KT = jnp.asarray(np.asarray(em_K).T, dtype=npdt)
     diag = L.dss(lay_v, jnp.tile(jnp.diagonal(KT)[None, :], (E, 1)))
+
+    KinvT = None
+    if pc == "schwarz":
+        # element pseudo-inverse: K_e is symmetric PSD with a small null
+        # space (per-component constants survive stiffness + penalties);
+        # invert the definite part, drop the null directions (the Jacobi
+        # mix in the preconditioner covers them)
+        Ke = np.asarray(em_K, dtype=np.float64)
+        lam, Q = np.linalg.eigh(0.5 * (Ke + Ke.T))
+        cut = 1e-10 * lam.max()
+        inv_lam = np.where(lam > cut, 1.0 / np.maximum(lam, cut), 0.0)
+        Kinv = (Q * inv_lam[None, :]) @ Q.T
+        KinvT = jnp.asarray(Kinv.T, dtype=npdt)
 
     # BC masks + constant values (dense, merged in side order)
     n_nodes = mesh.n_nodes
@@ -227,13 +249,14 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         mask_vel=tl(mvel), mask_vort=tl(mvort), mask_tang=tl(mtang),
         const_vel=tl(cvel), const_vort=tl(cvort), const_tang=tl(ctang),
         func_sides=tuple(func_sides),
+        KinvT=KinvT,
         P_v2cm=jnp.asarray(_comp_perm(nn, dim, npdt)),
         P_cm2s=jnp.asarray(_comp_perm(nn, dim_s, npdt).T.copy()),
         rho=zdt(rho), mu=zdt(mu), nu=zdt(mu / rho),
         ngl=mesh.ngl, nelem=tuple(mesh.nelem), dim=dim, dim_w=dim_w,
         dim_s=dim_s, is_ns=bc.needs_fs_stage,
         cg_rtol=float(cg_rtol), cg_atol=float(cg_atol),
-        cg_maxiter=int(cg_maxiter))
+        cg_maxiter=int(cg_maxiter), pc=pc if KinvT is not None else "jacobi")
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +360,23 @@ def _masked_solve(ops: EngineOps, free, vort, vel):
         return free * apply_K(ops, free * v) + con * v
 
     dmask = free * ops.diag + con
-    res = pcg(A, b, free * vel + vc, M_inv=lambda r: r / dmask,
+
+    if ops.pc == "schwarz":
+        # weighted additive overlapping Schwarz by element
+        # (M^-1 = sum_e R^T D K_e^+ D R, SPSD) mixed with Jacobi to cover
+        # the element null space; both restricted to the free subspace
+        inv_mult = ops.lay_v.inv_mult
+
+        def M_inv(r):
+            rf = free * r
+            z = L.dss(ops.lay_v, (rf * inv_mult) @ ops.KinvT,
+                      axis_name=ops.axis_name) * inv_mult
+            return free * z + 0.5 * rf / dmask + con * r
+    else:
+        def M_inv(r):
+            return r / dmask
+
+    res = pcg(A, b, free * vel + vc, M_inv=M_inv,
               rtol=ops.cg_rtol, atol=ops.cg_atol, maxiter=ops.cg_maxiter,
               dot=_dot_v(ops))
     return res.x

@@ -86,6 +86,7 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int) -> E.EngineOps:
         const_vel=split(ops.const_vel), const_vort=split(ops.const_vort),
         const_tang=split(ops.const_tang),
         func_sides=tuple(fs_out),
+        KinvT=None if ops.KinvT is None else bcast(ops.KinvT),
         P_v2cm=bcast(ops.P_v2cm), P_cm2s=bcast(ops.P_cm2s),
         rho=jnp.broadcast_to(ops.rho, (ndev,)),
         mu=jnp.broadcast_to(ops.mu, (ndev,)),

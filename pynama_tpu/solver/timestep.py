@@ -133,6 +133,51 @@ def make_step(rhs: Callable, tableau: Tableau, atol: float, rtol: float,
     return attempt
 
 
+class AdaptiveStepper:
+    """Single-step adaptive driver with persistent dt (the analog of the
+    reference's manual `ts.step()` loop in the IBM cases,
+    `immersed_boundary.py:56-113`: one accepted RK step per call, with the
+    step controller's dt carried across calls)."""
+
+    def __init__(self, rhs: Callable, atol: float = 1e-4,
+                 rtol: float = 1e-4, tableau: str = "5bs",
+                 safety: float = 0.9, clip: tuple = (0.1, 10.0),
+                 dt_min: float = 1e-14, params=None, err_norm=None,
+                 jit: bool = True):
+        tab = get_tableau(tableau)
+        self.with_params = params is not None
+        attempt = make_step(rhs, tab, atol, rtol, err_norm=err_norm,
+                            with_params=self.with_params)
+        self.attempt = jax.jit(attempt) if jit else attempt
+        self.params = params
+        self.expo = -1.0 / tab.order
+        self.safety, self.clip, self.dt_min = safety, clip, dt_min
+        self.dt = None
+
+    def step(self, t: float, y, aux, t_max: float = np.inf):
+        """Advance ONE accepted step from t; returns (t_new, y, aux).
+        dt is clamped so t_new <= t_max (MATCHSTEP)."""
+        assert self.dt is not None, "set stepper.dt before stepping"
+        pargs = (self.params,) if self.with_params else ()
+        while True:
+            dt = min(self.dt, t_max - t)
+            res = self.attempt(t, dt, y, aux, *pargs)
+            enorm = float(res.enorm)
+            if not np.isfinite(enorm):
+                self.dt = dt * 0.25
+                if self.dt < self.dt_min:
+                    raise RuntimeError("timestep underflow (non-finite)")
+                continue
+            factor = self.safety * max(enorm, 1e-30) ** self.expo
+            factor = min(max(factor, self.clip[0]), self.clip[1])
+            if enorm <= 1.0:
+                self.dt = dt * factor
+                return t + dt, res.y, res.aux
+            self.dt = dt * factor
+            if self.dt < self.dt_min:
+                raise RuntimeError("timestep underflow (step rejected)")
+
+
 def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
                    dt0: float = 1e-3, max_steps: int = 10_000,
                    atol: float = 1e-4, rtol: float = 1e-4,

@@ -1,0 +1,112 @@
+"""IBM tests (mirroring reference `src/tests/test_ibm.py`): discrete
+conservation of the regularized dirac interpolation, support search on a
+known grid, and a short cylinder run."""
+import numpy as np
+import pytest
+
+from pynama_tpu.cases.ibm import ImmersedBoundaryStatic, \
+    ImmersedBoundaryDynamic
+from pynama_tpu.ibm import interpolation as I
+from pynama_tpu.ibm.bodies import (BodiesContainer, Circle, four_grid,
+                                   linear, three_grid)
+from pynama_tpu.mesh import BoxMesh
+
+
+def ibm_config(nelem=20, vel="static", max_steps=3, end=0.5):
+    return {
+        "name": "ibm-test",
+        "save-n-steps": 10,  # force history every save//10 = 1 step
+        "material-properties": {"rho": 0.5, "mu": 0.01},
+        "domain": {"ngl": 3, "box-mesh": {
+            "nelem": [nelem, nelem], "lower": [-3, -3], "upper": [3, 3]}},
+        "time-solver": {"start-time": 0, "end-time": end,
+                        "max-steps": max_steps},
+        "boundary-conditions": {"uniform": {"velocity": [1.0, 0.0]}},
+        "initial-conditions": {"vorticity": [0]},
+        "bodies": [{"type": "circle", "vel": vel, "radius": 0.5,
+                    "center": [0, 0]}],
+    }
+
+
+def test_kernels_partition_of_unity():
+    """Each kernel sums to 1 over the integer grid for any offset."""
+    for phi, supp in ((linear, 1), (three_grid, 2), (four_grid, 2)):
+        for frac in (0.0, 0.25, 0.5, 0.77):
+            pts = np.arange(-4, 5) + frac
+            s = float(np.asarray(phi(np.abs(pts))).sum())
+            assert abs(s - 1.0) < 1e-12, (phi.__name__, frac, s)
+
+
+def test_h_rows_conserve():
+    """Zeroth moment: each H row sums to 1; first moment vanishes
+    (reference test_ibm.py:77-99)."""
+    mesh = BoxMesh.create(3, (20, 20), [-3, -3], [3, 3])
+    h = mesh.node_separation()
+    body = Circle(radius=0.5)
+    body.create(h)
+    ops = I.make_ibm_ops(mesh, body.dl, dtype=np.float64)
+    xy = body.coordinates()
+    nodes, w = I.support_tables(ops, xy)
+    rowsum = np.asarray(w).sum(axis=1) * h**2
+    np.testing.assert_allclose(rowsum, 1.0, atol=1e-10)
+    # first moment: sum_k w_k (x_k - x_b) = 0
+    coords = np.asarray(mesh.coords)[np.asarray(nodes)]
+    for d in range(2):
+        m1 = (np.asarray(w) * (coords[:, :, d] - xy[:, d:d + 1])).sum(1)
+        np.testing.assert_allclose(m1 * h**2, 0.0, atol=1e-9)
+
+
+def test_support_counts():
+    """Every lagrangian point finds a full 4-cell support away from the
+    border (reference test_ibm.py support-search counts)."""
+    mesh = BoxMesh.create(3, (20, 20), [-3, -3], [3, 3])
+    body = Circle(radius=0.5)
+    body.create(mesh.node_separation())
+    ops = I.make_ibm_ops(mesh, body.dl, dtype=np.float64)
+    nodes, w = I.support_tables(ops, body.coordinates())
+    active = (np.asarray(w) > 0).sum(axis=1)
+    assert active.min() >= 9          # at least a 3x3 live stencil
+    assert active.max() <= 25
+
+
+def test_interp_spread_adjoint():
+    """S is H^T up to the dl*h / h^2 scalings: <Hv, f> = <v, Sf>/ (dl h) *
+    h^2 consistency."""
+    mesh = BoxMesh.create(3, (16, 16), [-3, -3], [3, 3])
+    body = Circle(radius=0.5)
+    body.create(mesh.node_separation())
+    ops = I.make_ibm_ops(mesh, body.dl, dtype=np.float64)
+    nodes, w = I.support_tables(ops, body.coordinates())
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((mesh.n_nodes, 2))
+    f = rng.standard_normal((body.n_nodes, 2))
+    Hv = np.asarray(I.interp_H(ops, nodes, w, v))
+    Sf = np.asarray(I.spread_S(ops, nodes, w, f, mesh.n_nodes))
+    lhs = (Hv * f).sum() * float(ops.dl) * float(ops.h)
+    rhs = (v * Sf).sum() * float(ops.h) ** 2
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_static_cylinder_short_run():
+    """Few steps of the static cylinder: body velocity enforced at the
+    lagrangian points, fields finite."""
+    p = ImmersedBoundaryStatic(ibm_config(nelem=16, max_steps=3),
+                               solver="direct")
+    p.setUp()
+    t, steps = p.start_solver(dt0=1e-3)
+    assert steps == 3
+    assert np.isfinite(np.asarray(p.vel)).all()
+    # interpolated fluid velocity at the body ~ body velocity (0)
+    Hv = np.asarray(I.interp_H(p.ibm_ops, p.nodes_tab, p.w_tab,
+                               np.asarray(p.vel)))
+    assert np.abs(Hv).max() < 5e-2, np.abs(Hv).max()
+
+
+def test_dynamic_cylinder_short_run():
+    p = ImmersedBoundaryDynamic(ibm_config(nelem=16, vel="dynamic",
+                                           max_steps=2), solver="direct")
+    p.setUp()
+    t, steps = p.start_solver(dt0=1e-3)
+    assert steps == 2
+    assert np.isfinite(np.asarray(p.vel)).all()
+    assert len(p.history["cd"]) > 0
