@@ -171,7 +171,8 @@ class Problem:
         Used for every iterative (CG) solve; the dense-direct method keeps
         the global-layout path (its Cholesky factor lives on the global dof
         vector). Disable explicitly with engine=False."""
-        use = self.opts.get("engine", self.solver_method == "cg")
+        use = self.opts.get("engine",
+                            self.solver_method in ("cg", "gmres"))
         self.engine_ops = None
         self._jit_solve_local = None
         self._jit_rhs_local = None
@@ -187,7 +188,8 @@ class Problem:
             cg_rtol=self.opts.get("cg_rtol", cfg.cg_rtol),
             cg_atol=self.opts.get("cg_atol", cfg.cg_atol),
             cg_maxiter=self.opts.get("cg_maxiter", cfg.cg_maxiter),
-            pc=self.opts.get("pc", "jacobi"))
+            pc=self.opts.get("pc", "jacobi"),
+            krylov="gmres" if self.solver_method == "gmres" else "cg")
 
     # ------------------------------------------------- local layout shuttles
     def to_local(self, x):

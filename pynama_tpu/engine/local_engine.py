@@ -116,6 +116,10 @@ class EngineOps:
     #: Schwarz by element + Jacobi mix, kept for experimentation)
     pc: str = dataclasses.field(default="jacobi",
                                 metadata=dict(static=True))
+    #: Krylov method: "cg" (default; K is SPD on the free subspace) or
+    #: "gmres" (restarted GMRES(30), the KSP-parity method)
+    krylov: str = dataclasses.field(default="cg",
+                                    metadata=dict(static=True))
     #: shard_map mesh-axis name when running slab-sharded, else None
     axis_name: Optional[str] = dataclasses.field(
         default=None, metadata=dict(static=True))
@@ -153,7 +157,7 @@ def _vtensv_pairs(dim: int):
 
 def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                  rho, mu, dtype, cg_rtol=1e-12, cg_atol=0.0,
-                 cg_maxiter=2000, pc="jacobi") -> EngineOps:
+                 cg_maxiter=2000, pc="jacobi", krylov="cg") -> EngineOps:
     """Assemble the EngineOps pytree from setup-time numpy data.
 
     em_*/op_* are the dense element matrices from `elements/kle.py`
@@ -256,7 +260,8 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         ngl=mesh.ngl, nelem=tuple(mesh.nelem), dim=dim, dim_w=dim_w,
         dim_s=dim_s, is_ns=bc.needs_fs_stage,
         cg_rtol=float(cg_rtol), cg_atol=float(cg_atol),
-        cg_maxiter=int(cg_maxiter), pc=pc if KinvT is not None else "jacobi")
+        cg_maxiter=int(cg_maxiter), pc=pc if KinvT is not None else "jacobi",
+        krylov=krylov)
 
 
 # ---------------------------------------------------------------------------
@@ -376,9 +381,15 @@ def _masked_solve(ops: EngineOps, free, vort, vel):
         def M_inv(r):
             return r / dmask
 
-    res = pcg(A, b, free * vel + vc, M_inv=M_inv,
-              rtol=ops.cg_rtol, atol=ops.cg_atol, maxiter=ops.cg_maxiter,
-              dot=_dot_v(ops))
+    if ops.krylov == "gmres":
+        from pynama_tpu.solver.gmres import gmres
+        res = gmres(A, b, free * vel + vc, M_inv=M_inv,
+                    rtol=ops.cg_rtol, atol=ops.cg_atol,
+                    maxiter=ops.cg_maxiter, dot=_dot_v(ops))
+    else:
+        res = pcg(A, b, free * vel + vc, M_inv=M_inv,
+                  rtol=ops.cg_rtol, atol=ops.cg_atol,
+                  maxiter=ops.cg_maxiter, dot=_dot_v(ops))
     return res.x
 
 

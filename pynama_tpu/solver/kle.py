@@ -12,9 +12,11 @@ For no-slip problems the free-slip stage solve (kle_solver.py:39-41) is the
 same equation with a wider free mask (interior + wall-tangential dofs), which
 is exactly what Kfs/Krhsfs/Rwfs encode entry-by-entry.
 
-Solvers: 'cg' (Jacobi-preconditioned matrix-free PCG) or 'direct'
-(setup-time dense Cholesky of the masked operator — the moral twin of the
-reference's `-ksp_type preonly -pc_type lu`, makefile:7).
+Solvers: 'cg' (Jacobi-preconditioned matrix-free PCG), 'gmres' (restarted
+Jacobi-preconditioned GMRES(30) — the literal KSP-GMRES analog,
+kle_solver.py:54-64), or 'direct' (setup-time dense Cholesky of the masked
+operator — the moral twin of the reference's `-ksp_type preonly -pc_type
+lu`, makefile:7).
 """
 from __future__ import annotations
 
@@ -29,6 +31,7 @@ import scipy.linalg
 from pynama_tpu.ops.apply import (ElementOp, apply_op, assembled_diagonal,
                                   assemble_dense)
 from pynama_tpu.solver.cg import pcg
+from pynama_tpu.solver.gmres import gmres
 
 
 @jax.tree_util.register_dataclass
@@ -88,8 +91,12 @@ def _masked_solve(K_op: ElementOp, Rw_op: ElementOp, sys: KLESystem,
         return r / dmask
 
     x0 = free * vel + vc
-    res = pcg(A, b, x0, M_inv=M_inv, rtol=sys.cg_rtol, atol=sys.cg_atol,
-              maxiter=sys.cg_maxiter)
+    if sys.method == "gmres":
+        res = gmres(A, b, x0, M_inv=M_inv, rtol=sys.cg_rtol,
+                    atol=sys.cg_atol, maxiter=sys.cg_maxiter)
+    else:
+        res = pcg(A, b, x0, M_inv=M_inv, rtol=sys.cg_rtol, atol=sys.cg_atol,
+                  maxiter=sys.cg_maxiter)
     return res.x
 
 
