@@ -39,10 +39,21 @@ class SideBC:
     vorticity: Optional[np.ndarray] = None    # (dim_w,)
     func: Optional[object] = None             # analytic function module
     coords: Optional[np.ndarray] = None       # (n_side, dim), for func sides
+    #: outward-normal axis (mesh-provided; None for a non-axis-aligned
+    #: unstructured boundary, which then cannot carry no-slip walls)
+    _normal_axis: Optional[int] = None
 
     @property
     def normal_axis(self) -> int:
-        return SIDE_NORMAL_AXIS[self.name]
+        if self._normal_axis is not None:
+            return self._normal_axis
+        if self.name in SIDE_NORMAL_AXIS:
+            return SIDE_NORMAL_AXIS[self.name]
+        raise ValueError(
+            f"boundary '{self.name}' has no axis-aligned outward normal; "
+            "no-slip walls on unstructured meshes require axis-aligned "
+            "boundaries (the reference has the same restriction via its "
+            "Directions table, boundary.py:151-163)")
 
     def values(self, attr: str, t, nu):
         """Boundary field values for 'velocity'/'vorticity'
@@ -69,7 +80,8 @@ class BoundaryConditions:
 
     # ------------------------------------------------------------------ parse
     def _parse(self, data):
-        names = border_names(self.dim)
+        names = getattr(self.mesh, "border_name_list",
+                        border_names(self.dim))
         if "uniform" in data:
             self.bc_type = "FS"
             vals = self._handle_uniform(data["uniform"])
@@ -120,9 +132,14 @@ class BoundaryConditions:
             return {"velocity": vel, "vorticity": [0] * self.dim_w}
         return dict(u)
 
+    def _mesh_normal_axis(self, name):
+        fn = getattr(self.mesh, "border_normal_axis", None)
+        return fn(name) if fn is not None else None
+
     def _add_side(self, name, kind, vals):
         nodes = self.mesh.border_nodes(name)
-        side = SideBC(name=name, kind=kind, nodes=nodes)
+        side = SideBC(name=name, kind=kind, nodes=nodes,
+                      _normal_axis=self._mesh_normal_axis(name))
         if isinstance(vals, (list, tuple, np.ndarray)):
             side.velocity = np.asarray(vals, dtype=np.float64)
             side.vorticity = np.zeros(self.dim_w)
@@ -135,7 +152,8 @@ class BoundaryConditions:
         nodes = self.mesh.border_nodes(name)
         side = SideBC(name=name, kind=kind, nodes=nodes,
                       func=get_function_lib(func_name),
-                      coords=self.mesh.coords[nodes])
+                      coords=self.mesh.coords[nodes],
+                      _normal_axis=self._mesh_normal_axis(name))
         self.sides.append(side)
 
     # ------------------------------------------------------------------ masks

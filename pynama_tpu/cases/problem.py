@@ -87,13 +87,18 @@ class Problem:
     def setUp(self):
         cfg = get_config()
         dom = dict(self.config["domain"])
-        box = dict(dom.get("box-mesh", dom))
         ngl = int(self.opts.get("ngl", dom["ngl"]))
-        nelem = self.opts.get("nelem", box["nelem"])
-        lower = self.opts.get("lower", box.get("lower", [0] * len(nelem)))
-        upper = self.opts.get("upper", box.get("upper", [1] * len(nelem)))
-
-        self.mesh = BoxMesh.create(ngl, nelem, lower, upper)
+        if "gmsh-file" in dom and "box-mesh" not in dom:
+            from pynama_tpu.mesh import UnstructuredMesh
+            self.mesh = UnstructuredMesh.from_gmsh(dom["gmsh-file"], ngl)
+        else:
+            box = dict(dom.get("box-mesh", dom))
+            nelem = self.opts.get("nelem", box["nelem"])
+            lower = self.opts.get("lower",
+                                  box.get("lower", [0] * len(nelem)))
+            upper = self.opts.get("upper",
+                                  box.get("upper", [1] * len(nelem)))
+            self.mesh = BoxMesh.create(ngl, nelem, lower, upper)
         self.dim = self.mesh.dim
         self.dim_w = self.mesh.dim_w
         self.dim_s = self.mesh.dim_s
@@ -172,7 +177,8 @@ class Problem:
         the global-layout path (its Cholesky factor lives on the global dof
         vector). Disable explicitly with engine=False."""
         use = self.opts.get("engine",
-                            self.solver_method in ("cg", "gmres"))
+                            self.solver_method in ("cg", "gmres")
+                            and self.mesh.is_box)
         self.engine_ops = None
         self._jit_solve_local = None
         self._jit_rhs_local = None

@@ -32,6 +32,30 @@ def border_names(dim: int) -> list[str]:
             else ["back", "front", "down", "up", "right", "left"])
 
 
+def build_incidence(cell_nodes: np.ndarray, n_nodes: int) -> np.ndarray:
+    """(n_nodes, max_fanin) indices into the flattened (n_cells*nnode_el)
+    element-slot array, padded with n_cells*nnode_el (a zero slot).
+
+    The reference's scatter-add assembly (`mat_fs.py:174-189` setValues
+    addv) becomes a fixed-fanin gather-sum — fully static shapes for XLA.
+    Works for any mesh; structured meshes have fan-in <= 2**dim,
+    unstructured meshes whatever the vertex valences demand.
+    """
+    n_cells, nnode_el = cell_nodes.shape
+    flat = cell_nodes.ravel()
+    order = np.argsort(flat, kind="stable")
+    sorted_nodes = flat[order]
+    counts = np.bincount(sorted_nodes, minlength=n_nodes)
+    kmax = int(counts.max())
+    pad = n_cells * nnode_el
+    inc = np.full((n_nodes, kmax), pad, dtype=np.int32)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    for k in range(kmax):
+        mask = counts > k
+        inc[mask, k] = order[starts[mask] + k]
+    return inc
+
+
 @dataclasses.dataclass(frozen=True)
 class BoxMesh:
     ngl: int
@@ -140,27 +164,22 @@ class BoxMesh:
         """True when all elements are congruent (always for linspace boxes)."""
         return True
 
+    @property
+    def is_box(self) -> bool:
+        return True
+
+    @property
+    def border_name_list(self) -> list:
+        return border_names(self.dim)
+
+    def border_normal_axis(self, name: str) -> int:
+        return SIDE_NORMAL_AXIS[name]
+
     @cached_property
     def incidence(self) -> np.ndarray:
-        """(n_nodes, max_fanin) indices into the flattened (n_cells*nnode_el)
-        element-slot array, padded with n_cells*nnode_el (a zero slot).
-
-        A structured-mesh node belongs to at most 2**dim cells, so the
-        reference's scatter-add assembly (`mat_fs.py:174-189` setValues addv)
-        becomes a fixed-fanin gather-sum — fully static shapes for XLA.
-        """
-        flat = self.cell_nodes.ravel()
-        order = np.argsort(flat, kind="stable")
-        sorted_nodes = flat[order]
-        counts = np.bincount(sorted_nodes, minlength=self.n_nodes)
-        kmax = int(counts.max())
-        pad = self.n_cells * self.nnode_el
-        inc = np.full((self.n_nodes, kmax), pad, dtype=np.int32)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        for k in range(kmax):
-            mask = counts > k
-            inc[mask, k] = order[starts[mask] + k]
-        return inc
+        """(n_nodes, max_fanin) element-slot fan-in table (<= 2**dim for a
+        structured mesh); see `build_incidence`."""
+        return build_incidence(self.cell_nodes, self.n_nodes)
 
     # -- boundaries -------------------------------------------------------
     @cached_property
