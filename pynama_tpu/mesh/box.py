@@ -178,8 +178,9 @@ class BoxMesh:
     @cached_property
     def incidence(self) -> np.ndarray:
         """(n_nodes, max_fanin) element-slot fan-in table (<= 2**dim for a
-        structured mesh); see `build_incidence`."""
-        return build_incidence(self.cell_nodes, self.n_nodes)
+        structured mesh); see `build_incidence` (native C++ when built)."""
+        from pynama_tpu import native
+        return native.build_incidence(self.cell_nodes, self.n_nodes)
 
     # -- boundaries -------------------------------------------------------
     @cached_property

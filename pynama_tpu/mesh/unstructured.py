@@ -119,13 +119,8 @@ class UnstructuredMesh:
           row0 (a0=0):   c00 -> c01,  row1 (a0=N-1): c10 -> c11
           col0 (a1=0):   c00 -> c10,  col1 (a1=N-1): c01 -> c11
         """
-        ct = self.cells_tensor
-        pairs = np.concatenate([
-            ct[:, [0, 1]], ct[:, [2, 3]], ct[:, [0, 2]], ct[:, [1, 3]]],
-            axis=0)
-        keys = np.sort(pairs, axis=1)
-        edges, inverse = np.unique(keys, axis=0, return_inverse=True)
-        return edges.astype(np.int32), inverse.reshape(4, self.n_cells).T
+        from pynama_tpu import native
+        return native.unique_edges(self.cells_tensor)
 
     @property
     def edges(self) -> np.ndarray:
@@ -155,6 +150,11 @@ class UnstructuredMesh:
         k = N - 2
         ct = self.cells_tensor
         edges, cell_edges = self._edge_table
+        from pynama_tpu import native
+        fast = native.cell_nodes(ct, cell_edges, self.n_vertices,
+                                 self.n_edges, N)
+        if fast is not None:
+            return fast
         int_base = self.n_vertices + self.n_edges * k
         out = np.empty((self.n_cells, N, N), dtype=np.int64)
         # traversal (start, end) per edge slot, grid placement
@@ -223,8 +223,8 @@ class UnstructuredMesh:
         """(n_nodes, max_fanin) indices into the flat (C*nnode_el) slot
         array, padded with C*nnode_el (same contract as BoxMesh.incidence,
         but fan-in is mesh-dependent — no 2**dim cap)."""
-        from pynama_tpu.mesh.box import build_incidence
-        return build_incidence(self.cell_nodes, self.n_nodes)
+        from pynama_tpu import native
+        return native.build_incidence(self.cell_nodes, self.n_nodes)
 
     # ----------------------------------------------------------- boundaries
     @property
