@@ -93,21 +93,12 @@ def main():
     nnz = assembled_nnz(p.mesh)
     log(f"assembled K nnz: {nnz/1e9:.3f} G")
 
-    NIT = 50
-
-    @jax.jit
-    def k_chain(ops_, v):
-        def body(i, x):
-            y = E.apply_K(ops_, x)
-            return y / (1.0 + jnp.max(jnp.abs(y)))
-        return jax.lax.fori_loop(0, NIT, body, v)
-
     rng = np.random.default_rng(0)
     v = jnp.asarray(p.to_local(rng.standard_normal(
         (p.mesh.n_nodes, p.dim))), dtype=p.dtype)
 
-    def timed(fn, *args, reps=5):
-        np.asarray(jax.block_until_ready(fn(*args))).ravel()[0]  # compile+sync
+    def best_of(fn, *args, reps=5):
+        float(np.asarray(fn(*args)).ravel()[0])    # compile + sync
         best = np.inf
         for _ in range(reps):
             t1 = time.perf_counter()
@@ -116,11 +107,29 @@ def main():
             best = min(best, time.perf_counter() - t1)
         return best
 
-    t_chain = timed(k_chain, ops, v)
-    t_apply = t_chain / NIT
+    def timed_slope(make_chain, *args, n1=None, n2=None, reps=5):
+        """Per-iteration device time from the slope between two chain
+        lengths. On tunneled devices a single call carries O(10 ms) of
+        dispatch+fetch latency; the difference cancels it exactly, so the
+        slope is pure device time per iteration."""
+        t1 = best_of(make_chain(n1), *args, reps=reps)
+        t2 = best_of(make_chain(n2), *args, reps=reps)
+        return max((t2 - t1) / (n2 - n1), 1e-9), t1
+
+    def k_chain(nit):
+        @jax.jit
+        def f(ops_, v):
+            def body(i, x):
+                y = E.apply_K(ops_, x)
+                return y / (1.0 + jnp.max(jnp.abs(y)))
+            return jax.lax.fori_loop(0, nit, body, v)
+        return f
+
+    t_apply, t_call = timed_slope(k_chain, ops, v, n1=50, n2=450)
     gnnz_s = nnz / t_apply / 1e9
-    log(f"K apply ({NIT}-chain): {t_apply*1e3:.3f} ms "
-        f"-> {gnnz_s:.1f} GNNZ/s effective")
+    log(f"K apply (chain-slope 50->450): {t_apply*1e6:.1f} us "
+        f"-> {gnnz_s:.1f} GNNZ/s effective "
+        f"(single-call latency floor {t_call*1e3:.1f} ms)")
 
     # --- CSR speed-of-light on this chip (f32: 4B value + 4B colidx per nnz)
     hbm_gbps = {"TPU v5 lite": 819.0, "TPU v5e": 819.0,
@@ -130,17 +139,37 @@ def main():
     csr_sol_gnnz = bw / 8.0
     vs = gnnz_s / csr_sol_gnnz
 
-    # --- KLE solve per timestep at fixed residual
+    # --- KLE solve per timestep at fixed residual (chained full solves:
+    # each iteration re-runs both CG stages warm-started on the previous
+    # velocity, so the slope is one full two-stage solve)
     vort = E.curl(ops, v)
     vel0 = jnp.zeros_like(v)
-    solve = jax.jit(E.solve_kle_local)
-    t_solve = timed(solve, ops, vort, vel0, 0.0, reps=3)
+
+    def solve_chain(nit):
+        @jax.jit
+        def f(ops_, w, u):
+            def body(i, u):
+                _, u2 = E.solve_kle_local(ops_, w, u, 0.0)
+                return u2 * (1.0 - 1e-6) + 1e-7 * i  # defeat loop hoisting
+            return jax.lax.fori_loop(0, nit, body, u)
+        return f
+
+    t_solve, _ = timed_slope(solve_chain, ops, vort, vel0, n1=2, n2=10,
+                             reps=3)
     log(f"KLE solve (two-stage NS, rtol={ops.cg_rtol:g}): "
         f"{t_solve*1e3:.2f} ms")
 
     # --- full RHS evaluation
-    rhs = jax.jit(E.rhs_local)
-    t_rhs = timed(rhs, ops, 0.0, vort, vel0, reps=3)
+    def rhs_chain(nit):
+        @jax.jit
+        def f(ops_, w, u):
+            def body(i, w):
+                f_, _ = E.rhs_local(ops_, 0.0, w, u)
+                return w + 1e-9 * f_
+            return jax.lax.fori_loop(0, nit, body, w)
+        return f
+
+    t_rhs, _ = timed_slope(rhs_chain, ops, vort, vel0, n1=2, n2=10, reps=3)
     log(f"full RHS eval: {t_rhs*1e3:.2f} ms")
 
     print(json.dumps({
