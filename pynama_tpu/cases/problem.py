@@ -117,6 +117,9 @@ class Problem:
         self._build_kle_solver()
         self._build_engine()
         self.vort, self.vel = self._initial_conditions()
+        if logger.isEnabledFor(logging.DEBUG):
+            from pynama_tpu.utils.report import format_ops_info, ops_info
+            logger.debug(format_ops_info(ops_info(self)))
 
     def _build_operators(self):
         mesh, basis = self.mesh, self.basis
