@@ -125,9 +125,9 @@ def main():
             return jax.lax.fori_loop(0, nit, body, v)
         return f
 
-    t_apply, t_call = timed_slope(k_chain, ops, v, n1=50, n2=450)
+    t_apply, t_call = timed_slope(k_chain, ops, v, n1=50, n2=1650, reps=7)
     gnnz_s = nnz / t_apply / 1e9
-    log(f"K apply (chain-slope 50->450): {t_apply*1e6:.1f} us "
+    log(f"K apply (chain-slope 50->1650): {t_apply*1e6:.1f} us "
         f"-> {gnnz_s:.1f} GNNZ/s effective "
         f"(single-call latency floor {t_call*1e3:.1f} ms)")
 

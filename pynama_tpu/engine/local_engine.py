@@ -91,8 +91,8 @@ class EngineOps:
     const_tang: jax.Array      # (E, nncv)
     func_sides: tuple          # of FuncSide
     # v (x) v component shuffles
-    P_v2cm: jax.Array          # (nncv, dim*nn) interleaved -> component-major
-    P_cm2s: jax.Array          # (dim_s*nn, nncs) component-major -> strain
+    P_v2cm: jax.Array          # (dim*nn,) gather idx interleaved -> comp-major
+    P_cm2s: jax.Array          # (nncs,) gather idx comp-major -> interleaved
     #: element-pseudoinverse for the overlapping-Schwarz preconditioner
     #: (transposed, (nncv, nncv)); None under pc="jacobi"
     KinvT: Optional[jax.Array]
@@ -137,14 +137,20 @@ class EngineOps:
 # build
 # ---------------------------------------------------------------------------
 
-def _comp_perm(nn: int, ncomp: int, dtype) -> np.ndarray:
-    """(nn*ncomp, ncomp*nn) permutation: interleaved -> component-major."""
-    P = np.zeros((nn * ncomp, ncomp * nn), dtype=dtype)
-    src = np.arange(nn * ncomp)
-    comp = src % ncomp
-    node = src // ncomp
-    P[src, comp * nn + node] = 1.0
-    return P
+def _comp_perm_idx(nn: int, ncomp: int) -> np.ndarray:
+    """Gather index: interleaved -> component-major, t_cm = t[:, idx]."""
+    dst = np.arange(ncomp * nn)
+    comp = dst // nn
+    node = dst % nn
+    return (node * ncomp + comp).astype(np.int32)
+
+
+def _comp_unperm_idx(nn: int, ncomp: int) -> np.ndarray:
+    """Gather index: component-major -> interleaved, t = t_cm[:, idx]."""
+    dst = np.arange(nn * ncomp)
+    node = dst // ncomp
+    comp = dst % ncomp
+    return (comp * nn + node).astype(np.int32)
 
 
 def _vtensv_pairs(dim: int):
@@ -254,8 +260,8 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         const_vel=tl(cvel), const_vort=tl(cvort), const_tang=tl(ctang),
         func_sides=tuple(func_sides),
         KinvT=KinvT,
-        P_v2cm=jnp.asarray(_comp_perm(nn, dim, npdt)),
-        P_cm2s=jnp.asarray(_comp_perm(nn, dim_s, npdt).T.copy()),
+        P_v2cm=jnp.asarray(_comp_perm_idx(nn, dim)),
+        P_cm2s=jnp.asarray(_comp_unperm_idx(nn, dim_s)),
         rho=zdt(rho), mu=zdt(mu), nu=zdt(mu / rho),
         ngl=mesh.ngl, nelem=tuple(mesh.nelem), dim=dim, dim_w=dim_w,
         dim_s=dim_s, is_ns=bc.needs_fs_stage,
@@ -320,33 +326,33 @@ def _dot_v(ops: EngineOps):
 
 
 def apply_K(ops: EngineOps, v):
-    return L.dss(ops.lay_v, v @ ops.KT, axis_name=ops.axis_name)
+    return L.dss(ops.lay_v, L.mm(v, ops.KT), axis_name=ops.axis_name)
 
 
 def curl(ops: EngineOps, v):
     """Nodal curl (row-scaled assembled Curl, mat_fs.py:253-267)."""
-    return L.dss(ops.lay_w, v @ ops.curlT, axis_name=ops.axis_name) \
+    return L.dss(ops.lay_w, L.mm(v, ops.curlT), axis_name=ops.axis_name) \
         * ops.winv_w
 
 
 def srt(ops: EngineOps, v):
-    return L.dss(ops.lay_s, v @ ops.srtT, axis_name=ops.axis_name) \
+    return L.dss(ops.lay_s, L.mm(v, ops.srtT), axis_name=ops.axis_name) \
         * ops.winv_s
 
 
 def div_srt(ops: EngineOps, s):
-    return L.dss(ops.lay_v, s @ ops.divT, axis_name=ops.axis_name) \
+    return L.dss(ops.lay_v, L.mm(s, ops.divT), axis_name=ops.axis_name) \
         * ops.winv_v
 
 
 def vtensv(ops: EngineOps, vel):
     """v (x) v packed into strain slots via component-major shuffles."""
     nn, dim = ops.nn, ops.dim
-    cm = vel @ ops.P_v2cm                       # (E, dim*nn) component-major
+    cm = vel[:, ops.P_v2cm]                     # (E, dim*nn) component-major
     comps = [cm[:, k * nn:(k + 1) * nn] for k in range(dim)]
     prods = jnp.concatenate(
         [comps[i] * comps[j] for i, j in _vtensv_pairs(dim)], axis=1)
-    return prods @ ops.P_cm2s                   # -> interleaved strain
+    return prods[:, ops.P_cm2s]                 # -> interleaved strain
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +364,7 @@ def _masked_solve(ops: EngineOps, free, vort, vel):
     (reference kle_solver.py:33-41 semantics)."""
     con = 1.0 - free
     vc = con * vel
-    b = free * (L.dss(ops.lay_v, vort @ ops.RwT,
+    b = free * (L.dss(ops.lay_v, L.mm(vort, ops.RwT),
                       axis_name=ops.axis_name) - apply_K(ops, vc)) + vc
 
     def A(v):
@@ -374,7 +380,7 @@ def _masked_solve(ops: EngineOps, free, vort, vel):
 
         def M_inv(r):
             rf = free * r
-            z = L.dss(ops.lay_v, (rf * inv_mult) @ ops.KinvT,
+            z = L.dss(ops.lay_v, L.mm(rf * inv_mult, ops.KinvT),
                       axis_name=ops.axis_name) * inv_mult
             return free * z + 0.5 * rf / dmask + con * r
     else:

@@ -83,7 +83,8 @@ def support_tables(ops: IBMOps, body_xy: jax.Array):
 def interp_H(ops: IBMOps, nodes, w, vel_nodal: jax.Array) -> jax.Array:
     """H . vel: (n_nodes, 2) -> (L, 2), including the h^2 row scaling."""
     ve = vel_nodal[nodes]                 # (L, K2, 2)
-    return jnp.einsum("lk,lkc->lc", w, ve) * ops.h ** 2
+    return jnp.einsum("lk,lkc->lc", w, ve,
+                      precision=jax.lax.Precision.HIGHEST) * ops.h ** 2
 
 
 def spread_S(ops: IBMOps, nodes, w, flux: jax.Array,
@@ -100,8 +101,8 @@ def normal_core(ops: IBMOps, nodes, w) -> jax.Array:
 
     C[l,m] = h^3 dl * sum_{k,k'} w_l[k] w_m[k'] [nodes match]."""
     eq = (nodes[:, None, :, None] == nodes[None, :, None, :])
-    overlap = jnp.einsum("lk,mj,lmkj->lm", w, w,
-                         eq.astype(w.dtype))
+    overlap = jnp.einsum("lk,mj,lmkj->lm", w, w, eq.astype(w.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
     return overlap * ops.h ** 3 * ops.dl
 
 

@@ -79,10 +79,11 @@ def fanin_sum(op: ElementOp, ze: jax.Array) -> jax.Array:
 def apply_op(op: ElementOp, x: jax.Array) -> jax.Array:
     """y = A x for the globally-assembled operator A, matrix-free."""
     xe = element_gather(op, x)
+    hi = jax.lax.Precision.HIGHEST
     if op.mat.ndim == 2:
-        ze = xe @ op.mat.T
+        ze = jnp.matmul(xe, op.mat.T, precision=hi)
     else:
-        ze = jnp.einsum("eij,ej->ei", op.mat, xe)
+        ze = jnp.einsum("eij,ej->ei", op.mat, xe, precision=hi)
     return fanin_sum(op, ze)
 
 

@@ -29,10 +29,17 @@ PETSc's VecScatter begin/end pairs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+#: On TPU the DEFAULT matmul precision truncates f32 inputs to bf16 —
+#: fatal for the stiff penalized KLE operator (CG diverges) and it even
+#: corrupts permutation matmuls (the 0/1 matrix is exact, but the DATA gets
+#: rounded). HIGHEST (bf16_3x decomposition) reproduces full f32 products.
+mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 # --------------------------------------------------------------- orderings
@@ -57,17 +64,18 @@ def _local_col_index(ngl: int, dim: int, ncomp: int, order: tuple) -> np.ndarray
     return permuted.reshape(-1)
 
 
-def _perm_matrix(src: np.ndarray, dst: np.ndarray, dtype) -> np.ndarray:
-    """Dense P moving a row vector from layout `src` to layout `dst`:
-    (t_src @ P)[:, j] = value of dst column j. src/dst map their layout's
-    columns to canonical columns."""
+def _perm_index(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Gather index g moving a row vector from layout `src` to layout
+    `dst`: t_dst = t_src[:, g]. src/dst map their layout's columns to
+    canonical columns.
+
+    Originally a permutation-matrix matmul; a trailing-axis column gather
+    measured 4.6x faster on TPU than the matmul at the HIGHEST precision
+    the f32 data requires, and is bit-exact by construction."""
     n = src.size
     inv_src = np.empty(n, dtype=np.int64)
     inv_src[src] = np.arange(n)
-    idx = inv_src[dst]           # src-layout column feeding dst column j
-    P = np.zeros((n, n), dtype=dtype)
-    P[idx, np.arange(n)] = 1.0
-    return P
+    return inv_src[dst].astype(np.int32)
 
 
 # ------------------------------------------------------------------ layout
@@ -80,7 +88,7 @@ class LocalLayout:
     applying them in sequence after per-axis DSS rotates the layout through
     all axis-major orders and back to canonical.
     """
-    perms: tuple                     # dim dense (nnc, nnc) jax arrays
+    perms: tuple                     # dim (nnc,) int32 gather-index arrays
     inv_mult: jax.Array              # (E, nnc) 1/slot-multiplicity
     ngl: int = dataclasses.field(metadata=dict(static=True))
     nelem: tuple = dataclasses.field(metadata=dict(static=True))
@@ -115,7 +123,7 @@ def make_local_layout(mesh, ncomp: int, dtype=jnp.float32) -> LocalLayout:
     cols = [_local_col_index(mesh.ngl, dim, ncomp, o) for o in orders]
     np_dtype = np.dtype(dtype)
     perms = tuple(
-        jnp.asarray(_perm_matrix(cols[d], cols[(d + 1) % dim], np_dtype))
+        jnp.asarray(_perm_index(cols[d], cols[(d + 1) % dim]))
         for d in range(dim))
     counts = np.bincount(cell_nodes.ravel(), minlength=mesh.n_nodes)
     mult = counts[cell_nodes]                      # (E, nnode)
@@ -188,7 +196,7 @@ def dss(layout: LocalLayout, t: jax.Array, axis_name=None) -> jax.Array:
     for d in range(layout.dim):
         t = _dss_axis_major(t, layout.nelem, d, nnc, plane,
                             axis_name=axis_name)
-        t = t @ layout.perms[d]        # rotate to next axis-major (MXU)
+        t = t[:, layout.perms[d]]      # rotate to next axis-major (gather)
     return t
 
 
@@ -216,7 +224,7 @@ def make_local_op(mat, layout_out: LocalLayout, dtype=None) -> LocalOp:
 
 def apply_local_op(op: LocalOp, t: jax.Array) -> jax.Array:
     """y_local = DSS(x_local @ K^T): assembled operator application."""
-    return dss(op.layout_out, t @ op.matT)
+    return dss(op.layout_out, mm(t, op.matT))
 
 
 def local_diagonal(op: LocalOp) -> jax.Array:

@@ -21,7 +21,8 @@ class CGResult(NamedTuple):
 
 
 def _vdot(a, b):
-    return jnp.vdot(a.ravel(), b.ravel())
+    return jnp.vdot(a.ravel(), b.ravel(),
+                    precision=jax.lax.Precision.HIGHEST)
 
 
 def pcg(A: Callable, b: jax.Array, x0: jax.Array,

@@ -32,7 +32,8 @@ class GMRESResult(NamedTuple):
 
 
 def _vdot(a, b):
-    return jnp.vdot(a.ravel(), b.ravel())
+    return jnp.vdot(a.ravel(), b.ravel(),
+                    precision=jax.lax.Precision.HIGHEST)
 
 
 def gmres(A: Callable, b: jax.Array, x0: jax.Array,
