@@ -132,10 +132,13 @@ class Problem:
             m, mesh.cell_nodes, mesh.incidence, din, dout, mesh.n_nodes,
             dtype=self.dtype)
 
-        # lumped weights (mat_fs.py:249-251 weight lumping)
-        wtile = np.broadcast_to(eo.weight, (mesh.n_cells, mesh.nnode_el))
-        wop = mk(np.zeros((1, 1)), 1, 1)  # reuse fanin tables
-        w = fanin_sum(wop, jnp.asarray(wtile, dtype=self.dtype))
+        # lumped weights (mat_fs.py:249-251 weight lumping; host-side)
+        from pynama_tpu.ops.apply import fanin_sum_np
+        wtile = np.broadcast_to(np.asarray(eo.weight, dtype=np.float64),
+                                (mesh.n_cells, mesh.nnode_el))
+        w = jnp.asarray(
+            fanin_sum_np(mesh.cell_nodes, wtile, 1, mesh.n_nodes),
+            dtype=self.dtype)
         self.operator = Operators(
             curl_op=mk(eo.Curl, self.dim, self.dim_w),
             srt_op=mk(eo.SrT, self.dim, self.dim_s),

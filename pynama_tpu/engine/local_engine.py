@@ -182,10 +182,9 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
 
     # lumped weights: assemble (DSS of tiled element weights), then 1/w per
     # node, expanded per family
-    lay_1 = L.make_local_layout(mesh, 1, dtype=np.float64)
     wtile = np.broadcast_to(np.asarray(op_weight, dtype=np.float64),
                             (E, nn)).copy()
-    w_loc = np.asarray(L.dss(lay_1, jnp.asarray(wtile)))
+    w_loc = L.dss_np(mesh, wtile, 1)
     winv = 1.0 / w_loc                                     # (E, nn)
     exp = lambda c: jnp.asarray(np.repeat(winv, c, axis=1), dtype=npdt)
 
@@ -194,8 +193,11 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                             dtype=npdt)
     free_fs = jnp.asarray(L.to_local(mesh, bc.free_fs.astype(np.float64)),
                           dtype=npdt)
-    KT = jnp.asarray(np.asarray(em_K).T, dtype=npdt)
-    diag = L.dss(lay_v, jnp.tile(jnp.diagonal(KT)[None, :], (E, 1)))
+    KT_np = np.asarray(em_K, dtype=np.float64).T
+    KT = jnp.asarray(KT_np, dtype=npdt)
+    diag = jnp.asarray(
+        L.dss_np(mesh, np.tile(np.diagonal(KT_np)[None, :], (E, 1)), dim),
+        dtype=npdt)
 
     KinvT = None
     if pc == "schwarz":

@@ -87,6 +87,31 @@ def apply_op(op: ElementOp, x: jax.Array) -> jax.Array:
     return fanin_sum(op, ze)
 
 
+def fanin_sum_np(cell_nodes: np.ndarray, ze: np.ndarray, dout: int,
+                 n_nodes: int) -> np.ndarray:
+    """Host (numpy) twin of fanin_sum for SETUP-time data — avoids eager
+    device dispatches during construction (slow on tunneled chips)."""
+    cn = np.asarray(cell_nodes)
+    zf = np.asarray(ze).reshape(cn.size, dout)
+    out = np.zeros((n_nodes, dout), dtype=zf.dtype)
+    np.add.at(out, cn.ravel(), zf)
+    return out
+
+
+def assembled_diagonal_np(mat: np.ndarray, cell_nodes: np.ndarray,
+                          n_nodes: int) -> np.ndarray:
+    """Host twin of assembled_diagonal (square operator, din == dout)."""
+    mats = np.asarray(mat)
+    nnc = mats.shape[-1]
+    cn = np.asarray(cell_nodes)
+    dout = nnc // cn.shape[1]
+    if mats.ndim == 2:
+        de = np.tile(np.diagonal(mats)[None, :], (cn.shape[0], 1))
+    else:
+        de = np.diagonal(mats, axis1=-2, axis2=-1)
+    return fanin_sum_np(cell_nodes, de, dout, n_nodes)
+
+
 def assembled_diagonal(op: ElementOp) -> jax.Array:
     """Diagonal of the assembled square operator, (n_nodes, dout)."""
     assert op.din == op.dout

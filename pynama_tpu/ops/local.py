@@ -205,6 +205,19 @@ def local_dot(layout: LocalLayout, a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b * layout.inv_mult)
 
 
+def dss_np(mesh, t: np.ndarray, ncomp: int) -> np.ndarray:
+    """Host (numpy) DSS for SETUP-time data: assemble into global dofs and
+    gather back. Semantically identical to `dss`; avoids eager device
+    dispatches during engine construction (each costs O(0.5 s) on a
+    tunneled chip)."""
+    cn = np.asarray(mesh.cell_nodes)
+    gid = (np.repeat(cn.ravel(), ncomp) * ncomp
+           + np.tile(np.arange(ncomp), cn.size))
+    acc = np.zeros(mesh.n_nodes * ncomp, dtype=np.asarray(t).dtype)
+    np.add.at(acc, gid, np.asarray(t).ravel())
+    return acc[gid].reshape(np.asarray(t).shape)
+
+
 # ------------------------------------------------------------------ LocalOp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
 
-from pynama_tpu.ops.apply import (ElementOp, apply_op, assembled_diagonal,
-                                  assemble_dense)
+from pynama_tpu.ops.apply import (ElementOp, apply_op,
+                                  assembled_diagonal_np, assemble_dense)
 from pynama_tpu.solver.cg import pcg
 from pynama_tpu.solver.gmres import gmres
 
@@ -111,7 +111,8 @@ def build_system(K_mat_np: np.ndarray, cell_nodes: np.ndarray,
     """Build one masked system; for 'direct', assemble + factor on host."""
     n_nodes, dim = free_mask_np.shape
     free = jnp.asarray(free_mask_np.astype(np.float64), dtype=dtype)
-    diag = assembled_diagonal(K_op)
+    diag = jnp.asarray(
+        assembled_diagonal_np(K_mat_np, cell_nodes, n_nodes), dtype=dtype)
     chol = None
     if method == "direct":
         A = assemble_dense(K_mat_np, cell_nodes, dim, dim, n_nodes)
