@@ -51,11 +51,67 @@ def assembled_nnz(mesh) -> int:
     return int(grid.sum()) * mesh.dim * mesh.dim
 
 
+def bench_scaling():
+    """Weak-scaling efficiency over all visible devices (BASELINE.md:
+    '>=75% nnz/s scaling efficiency'). Shards the K-apply chain over a 1D
+    mesh with nelem[0] proportional to device count and compares per-device
+    throughput against the 1-device run. On a multi-chip slice the axis-0
+    DSS rides ICI ppermutes; with one chip this reports 1 device."""
+    import jax
+    import jax.numpy as jnp
+    from pynama_tpu.cases import Problem
+    from pynama_tpu.parallel.sharded_engine import ShardedEngine
+    from pynama_tpu.engine import local_engine as E
+
+    ndev_all = len(jax.devices())
+    base = (4, 12, 12)
+    ngl = 4
+    results = {}
+    for ndev in [d for d in (1, 2, 4, 8, 16) if d <= ndev_all]:
+        nelem = (base[0] * ndev, base[1], base[2])
+        cfg = {
+            "name": "scale", "material-properties": {"rho": 0.5, "mu": 0.01},
+            "domain": {"ngl": ngl, "box-mesh": {
+                "nelem": list(nelem), "lower": [0] * 3, "upper": [1] * 3}},
+            "boundary-conditions": {"no-slip": {
+                s: [0, 0, 0] for s in
+                ("up", "down", "left", "right", "back", "front")}},
+            "initial-conditions": {"vorticity": [0, 0, 0]},
+        }
+        p = Problem(cfg, solver="cg", cg_rtol=1e-5, cg_maxiter=50)
+        p.setUp()
+        sk = ShardedEngine(p, ndev)
+        rhs = sk.make_rhs()
+        vort_s, vel_s = sk.shard_state(
+            np.zeros((p.mesh.n_nodes, p.mesh.dim_w)),
+            np.zeros((p.mesh.n_nodes, p.mesh.dim)))
+        jax.block_until_ready(rhs(sk.ops_s, 0.0, vort_s, vel_s))
+        reps = 3
+        best = np.inf
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            jax.block_until_ready(rhs(sk.ops_s, 0.0, vort_s, vel_s))
+            best = min(best, time.perf_counter() - t1)
+        nnz = assembled_nnz(p.mesh)
+        results[ndev] = nnz / best / 1e9
+        log(f"scaling ndev={ndev}: {results[ndev]:.2f} GNNZ/s "
+            f"({results[ndev]/ndev:.2f}/dev)")
+    eff = (results[max(results)] / max(results)) / results[1] \
+        if len(results) > 1 else 1.0
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency",
+        "value": round(eff, 3), "unit": "ratio", "vs_baseline": round(eff / 0.75, 3),
+        "detail": {str(k): round(v, 2) for k, v in results.items()}}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from pynama_tpu.cases import Problem
     from pynama_tpu.engine import local_engine as E
+
+    if os.environ.get("PYNAMA_BENCH") == "scaling":
+        return bench_scaling()
 
     size = os.environ.get("PYNAMA_BENCH", "default")
     if size == "small":
