@@ -113,7 +113,12 @@ class EngineOps:
     #: preconditioner: "jacobi" (assembled-diagonal; default — the
     #: alpha=1e3-penalized K defeats element-block Schwarz, measured 2.7x
     #: MORE iterations) or "schwarz" (weighted additive overlapping
-    #: Schwarz by element + Jacobi mix, kept for experimentation)
+    #: Schwarz by element + Jacobi mix, kept for experimentation).
+    #: Also measured and rejected: per-node dim x dim block-Jacobi (0%
+    #: fewer iterations — the penalty coupling is cross-node, the nodal
+    #: blocks are nearly diagonal) and a Q1 corner-space two-level additive
+    #: method (276 -> 179 iters on 12^3 ngl=4, but the coarse solve has no
+    #: efficient on-device form at production sizes — net wash).
     pc: str = dataclasses.field(default="jacobi",
                                 metadata=dict(static=True))
     #: Krylov method: "cg" (default; K is SPD on the free subspace) or

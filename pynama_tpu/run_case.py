@@ -184,7 +184,9 @@ def main(argv=None):
     ap.add_argument("-ngl", type=int, default=None)
     ap.add_argument("-nelem", type=int, nargs="+", default=None)
     ap.add_argument("-solver", default=None,
-                    choices=["cg", "direct", "auto"])
+                    choices=["cg", "gmres", "direct", "auto"])
+    ap.add_argument("-trace", default=None, metavar="DIR",
+                    help="capture a jax device trace into DIR")
     ap.add_argument("-max-ngl", dest="max_ngl", type=int, default=10)
     ap.add_argument("-checkpoint", default=None,
                     help="write final state to this HDF5 file")
@@ -204,7 +206,12 @@ def main(argv=None):
         "operators": generate_chart_operators,
         "chartkle": generate_chart_kle,
     }[args.test]
-    mode(cfg, args)
+    if args.trace:
+        from pynama_tpu.utils.profiling import device_trace
+        with device_trace(args.trace):
+            mode(cfg, args)
+    else:
+        mode(cfg, args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,48 @@
+"""CLI driver smoke tests (the reference's run_case entry,
+src/run_case.py:164-187): case loading, run modes, checkpoint round trip."""
+import os
+
+import numpy as np
+import pytest
+
+from pynama_tpu import run_case
+
+
+def tg_args(tmp_path, extra):
+    return ["-case", "taylor-green", "-log", "WARNING",
+            "-nelem", "4", "4", "-ngl", "4"] + extra
+
+
+def test_kle_mode(tmp_path, capsys):
+    run_case.main(["-case", "taylor-green", "-test", "kle",
+                   "-log", "WARNING", "-nelem", "4", "4", "-ngl", "4",
+                   "-solver", "direct"])
+
+
+def test_production_run_and_checkpoint(tmp_path):
+    ck = str(tmp_path / "state.h5")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run_case.main(["-case", "taylor-green", "-log", "WARNING",
+                       "-nelem", "3", "3", "-ngl", "3",
+                       "-solver", "direct", "-checkpoint", ck])
+        assert os.path.exists(ck)
+        # resume restarts from the written state
+        run_case.main(["-case", "taylor-green", "-log", "WARNING",
+                       "-nelem", "3", "3", "-ngl", "3",
+                       "-solver", "direct", "-resume", ck])
+    finally:
+        os.chdir(cwd)
+
+
+def test_unknown_case_raises():
+    with pytest.raises(FileNotFoundError):
+        run_case.load_case("no-such-case-xyz")
+
+
+def test_case_library_loads():
+    for name in ("taylor-green", "cavity-2d", "uniform", "ibm-static",
+                 "senoidal", "flat-plate", "taylor-green3d"):
+        cfg = run_case.load_case(name)
+        assert "boundary-conditions" in cfg or "bodies" in cfg
