@@ -5,8 +5,14 @@ dense gather + fused multiply + small-axis reduction with fully static
 shapes. CSR/COO paths use segment_sum (XLA scatter-add); BSR feeds dim-sized
 blocks through dense dots.
 
-A Pallas ELL kernel (pynama_tpu.ops.pallas_spmv) covers the case where x
-fits VMEM; these jnp fallbacks are used everywhere else and on CPU.
+On why there is NO hand-written Pallas kernel here: Pallas-TPU exposes
+dynamic slices but no vectorized gather (pallas guide, "Dynamic Indexing"),
+so an ELL kernel would have to emulate x[cols] with one-hot matmuls or
+scalar loops — strictly worse than the XLA gather these jnp formulations
+lower to. The production hot path avoids runtime gathers entirely anyway
+(element-local engine: dense MXU matmul + static plane adds,
+`engine/local_engine.py`); these assembled-format SpMVs serve the sparse
+library surface (IBM normal systems, external users, differential tests).
 """
 from __future__ import annotations
 
