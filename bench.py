@@ -118,6 +118,9 @@ def main():
         nelem, ngl = (8, 8, 8), 4
     elif size == "large":
         nelem, ngl = (32, 32, 32), 4
+    elif size == "highorder":
+        # BASELINE.md "high-order N=6-8 single-host refinement" config
+        nelem, ngl = (8, 8, 8), 7
     else:
         nelem, ngl = (24, 24, 24), 4
 
