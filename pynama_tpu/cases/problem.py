@@ -398,3 +398,29 @@ class Problem:
 
         return (werr(convective - exact_conv), werr(diffusive - exact_diff),
                 werr(curl - exact_vort))
+
+    def diagnostics(self, vel=None, vort=None) -> dict:
+        """Physics monitors: kinetic energy, enstrophy, divergence norm
+        (weighted quadrature integrals over the domain).
+
+        The reference logs only step/time/dt (base_problem.py:103); these
+        are the standard incompressible-flow observables — div_l2 in
+        particular measures how well the KLE penalty enforces
+        incompressibility and should stay small through a run.
+        """
+        vel = self.vel if vel is None else vel
+        vort = self.vort if vort is None else vort
+        op = self.operator
+        w = op.weight
+        ke = 0.5 * self.rho * float(((vel * vel).sum(axis=1,
+                                                     keepdims=True) * w).sum())
+        ens = 0.5 * float(((vort * vort).sum(axis=1, keepdims=True)
+                           * w).sum())
+        # div(v) = trace of the strain tensor; diagonal slots in the
+        # reduced symmetric packing are [0, 2] (2D) / [0, 2, 4] (3D)
+        # (elements/kle.py srt_tensor)
+        strain = op.srt(vel)
+        diag_slots = [0, 2] if self.dim == 2 else [0, 2, 4]
+        div = strain[:, jnp.asarray(diag_slots)].sum(axis=1, keepdims=True)
+        div_l2 = float(jnp.sqrt(((div * div) * w).sum()))
+        return {"kinetic_energy": ke, "enstrophy": ens, "div_l2": div_l2}
