@@ -145,7 +145,7 @@ class ImmersedBoundaryStatic(Problem):
                               affected_nodes=aff.ravel())
         self.viewer.write_xmf(self.case_name)
 
-    def run(self, atol=1e-4, rtol=1e-4, dt0=None):
+    def run(self, atol=1e-4, rtol=1e-4, dt0=None, log_diagnostics=False):
         return self.start_solver(atol=atol, rtol=rtol, dt0=dt0)
 
 

@@ -333,7 +333,7 @@ class Problem:
         self.viewer.configure(self.dim, self.config.get("save-dir"))
         self.viewer.save_mesh(np.asarray(self.mesh.coords))
 
-    def run(self, atol=1e-4, rtol=1e-4, dt0=None):
+    def run(self, atol=1e-4, rtol=1e-4, dt0=None, log_diagnostics=False):
         """Production run: integrate + save fields every save-n-steps
         (reference convergedStepFunction, base_problem.py:93-103)."""
         save_every = int(self.config.get("save-n-steps", 1))
@@ -342,6 +342,12 @@ class Problem:
             if self.viewer is not None and step % save_every == 0:
                 self.viewer.save_data(step, t, vorticity=np.asarray(vort),
                                       velocity=np.asarray(vel))
+            if log_diagnostics and step % save_every == 0:
+                d = self.diagnostics(vel=np.asarray(vel),
+                                     vort=np.asarray(vort))
+                logger.info("step %d t=%.6g KE=%.6g enstrophy=%.6g "
+                            "div_l2=%.3g", step, t, d["kinetic_energy"],
+                            d["enstrophy"], d["div_l2"])
 
         t, steps = self.start_solver(post_step=post, atol=atol, rtol=rtol,
                                      dt0=dt0)

@@ -68,7 +68,7 @@ def time_solving(cfg: dict, args):
         p.start_time = ck["t"]
         logger.info("resumed from %s at t=%g step=%d", args.resume,
                     ck["t"], ck["step"])
-    t, steps = p.run()
+    t, steps = p.run(log_diagnostics=args.diag)
     logger.info("Total time: %.3fs (%d steps to t=%g)", timer.toc(), steps, t)
     if args.checkpoint:
         from pynama_tpu.io import save_checkpoint
@@ -187,6 +187,8 @@ def main(argv=None):
                     choices=["cg", "gmres", "direct", "auto"])
     ap.add_argument("-trace", default=None, metavar="DIR",
                     help="capture a jax device trace into DIR")
+    ap.add_argument("-diag", action="store_true",
+                    help="log KE/enstrophy/divergence each saved step")
     ap.add_argument("-max-ngl", dest="max_ngl", type=int, default=10)
     ap.add_argument("-checkpoint", default=None,
                     help="write final state to this HDF5 file")

@@ -88,6 +88,21 @@ def test_ibm_static_case_runs(tmp_path, monkeypatch):
     assert np.isfinite(np.asarray(p.vel)).all()
 
 
+def test_ibm_dynamic_case_runs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = run_case.load_case("ibm-dynamic")
+    cfg["domain"]["box-mesh"]["nelem"] = [12, 12]
+    cfg["domain"]["ngl"] = 3
+    cfg["time-solver"] = {"start-time": 0, "end-time": 0.002,
+                          "max-steps": 2}
+    cfg["save-dir"] = str(tmp_path / "out")
+    p = run_case.make_problem(cfg)
+    assert type(p).__name__ == "ImmersedBoundaryDynamic"
+    p.setUp()
+    p.run(dt0=1e-4)
+    assert np.isfinite(np.asarray(p.vel)).all()
+
+
 def test_chart_mode_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import argparse
