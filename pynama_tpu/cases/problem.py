@@ -89,8 +89,8 @@ class Problem:
         dom = dict(self.config["domain"])
         ngl = int(self.opts.get("ngl", dom["ngl"]))
         if "gmsh-file" in dom and "box-mesh" not in dom:
-            from pynama_tpu.mesh import UnstructuredMesh
-            self.mesh = UnstructuredMesh.from_gmsh(dom["gmsh-file"], ngl)
+            from pynama_tpu.mesh import mesh_from_gmsh
+            self.mesh = mesh_from_gmsh(dom["gmsh-file"], ngl)
         else:
             box = dict(dom.get("box-mesh", dom))
             nelem = self.opts.get("nelem", box["nelem"])

@@ -1,17 +1,16 @@
 """Gmsh .msh reader (ASCII, MSH 2.2 and 4.1) for the unstructured path.
 
 TPU-native replacement for the reference's `DMPlex.createFromFile` gmsh
-import (`src/domain/dmplex.py:390-394` GmshDom). The parser extracts only
-what a spectral-element quad mesh needs: vertex coordinates, quad corner
-connectivity, and physical-group-labeled boundary lines — everything else
-(parametric coords, higher-order gmsh nodes, 3D entities) is ignored or
-rejected with a clear error.
+import (`src/domain/dmplex.py:390-394` GmshDom). The parser extracts what
+spectral-element quad/hex meshes need: vertex coordinates, quad (type 3) /
+hex (type 5) corner connectivity, and physical-group-labeled boundary
+entities (lines in 2D, surface quads in 3D) — everything else (parametric
+coords, higher-order gmsh nodes) is ignored or rejected with a clear error.
 
 Output contract (`GmshData`):
-  vertices   (V, 2) float64 corner coordinates
-  quads      (C, 4) int32 vertex ids in gmsh CCW corner order v0,v1,v2,v3
-  lines      dict physical-name -> (B, 2) int32 boundary line segments
-             (lines without a physical group land under "boundary")
+  2D: vertices (V,2), quads (C,4) CCW cells, lines {name: (B,2) segments}
+  3D: vertices (V,3), hexes (C,8) gmsh corner order,
+      surfaces {name: (B,4) boundary quads}
 """
 from __future__ import annotations
 
@@ -22,15 +21,22 @@ import numpy as np
 #: gmsh element type -> number of nodes (only the ones we care about)
 _GMSH_LINE = 1
 _GMSH_QUAD = 3
+_GMSH_HEX = 5
 _GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 8: 3, 9: 6,
                 10: 9, 11: 10, 15: 1, 16: 8, 17: 20}
 
 
 @dataclasses.dataclass
 class GmshData:
-    vertices: np.ndarray
-    quads: np.ndarray
-    lines: dict
+    vertices: np.ndarray    # (V, 2) for 2D quad meshes, (V, 3) for hexes
+    quads: np.ndarray       # 2D: (C, 4) cells; 3D: unused (see surfaces)
+    lines: dict             # 2D: name -> (B, 2) boundary segments
+    hexes: np.ndarray = None        # 3D: (C, 8) hex cells
+    surfaces: dict = None           # 3D: name -> (B, 4) boundary quads
+
+    @property
+    def is_3d(self) -> bool:
+        return self.hexes is not None and len(self.hexes)
 
 
 def read_msh(path: str) -> GmshData:
@@ -94,7 +100,7 @@ def _parse_v2(sections, phys) -> GmshData:
         xyz[k] = [float(v) for v in parts[1:4]]
     tag2idx = {int(t): k for k, t in enumerate(tags)}
 
-    quads, lines_acc = [], {}
+    quads, lines_acc, hexes, quad_names = [], {}, [], []
     elem_body = sections["Elements"]
     ne = int(elem_body[0])
     for line in elem_body[1:1 + ne]:
@@ -104,21 +110,24 @@ def _parse_v2(sections, phys) -> GmshData:
         conn = parts[3 + ntags:]
         if etype == _GMSH_QUAD:
             quads.append([tag2idx[c] for c in conn[:4]])
+            quad_names.append(phys.get((2, ptag), "boundary"))
+        elif etype == _GMSH_HEX:
+            hexes.append([tag2idx[c] for c in conn[:8]])
         elif etype == _GMSH_LINE:
             name = phys.get((1, ptag), "boundary")
             lines_acc.setdefault(name, []).append(
                 [tag2idx[c] for c in conn[:2]])
-    return _finish(xyz, tags, quads, lines_acc)
+    return _finish(xyz, tags, quads, lines_acc, hexes, quad_names)
 
 
 # --------------------------------------------------------------- MSH 4.1
 def _parse_v4(sections, phys) -> GmshData:
-    # entity tag -> physical tags (only curves, dim 1)
-    curve_phys = {}
+    # entity tag -> physical tags (curves dim 1, surfaces dim 2)
+    curve_phys, surf_phys = {}, {}
     ent = sections.get("Entities")
     if ent:
         counts = [int(v) for v in ent[0].split()]
-        np_, nc = counts[0], counts[1]
+        np_, nc, ns = counts[0], counts[1], counts[2]
         for line in ent[1 + np_:1 + np_ + nc]:
             parts = line.split()
             tag = int(parts[0])
@@ -126,6 +135,13 @@ def _parse_v4(sections, phys) -> GmshData:
             ptags = [int(v) for v in parts[8:8 + nphys]]
             if ptags:
                 curve_phys[tag] = ptags[0]
+        for line in ent[1 + np_ + nc:1 + np_ + nc + ns]:
+            parts = line.split()
+            tag = int(parts[0])
+            nphys = int(parts[7])
+            ptags = [int(v) for v in parts[8:8 + nphys]]
+            if ptags:
+                surf_phys[tag] = ptags[0]
 
     node_body = sections["Nodes"]
     hdr = [int(v) for v in node_body[0].split()]
@@ -144,7 +160,7 @@ def _parse_v4(sections, phys) -> GmshData:
         i += 1 + 2 * bn
     tag2idx = {int(t): j for j, t in enumerate(tags)}
 
-    quads, lines_acc = [], {}
+    quads, lines_acc, hexes, quad_names = [], {}, [], []
     elem_body = sections["Elements"]
     hdr = [int(v) for v in elem_body[0].split()]
     nblocks = hdr[0]
@@ -159,23 +175,40 @@ def _parse_v4(sections, phys) -> GmshData:
             conn = parts[1:1 + nn]
             if etype == _GMSH_QUAD:
                 quads.append([tag2idx[c] for c in conn[:4]])
+                ptag = surf_phys.get(etag)
+                quad_names.append(
+                    phys.get((2, ptag), "boundary") if ptag else "boundary")
+            elif etype == _GMSH_HEX:
+                hexes.append([tag2idx[c] for c in conn[:8]])
             elif etype == _GMSH_LINE:
                 ptag = curve_phys.get(etag)
                 name = phys.get((1, ptag), "boundary") if ptag else "boundary"
                 lines_acc.setdefault(name, []).append(
                     [tag2idx[c] for c in conn[:2]])
         i += 1 + bn
-    return _finish(xyz, tags, quads, lines_acc)
+    return _finish(xyz, tags, quads, lines_acc, hexes, quad_names)
 
 
-def _finish(xyz, tags, quads, lines_acc) -> GmshData:
+def _finish(xyz, tags, quads, lines_acc, hexes=(), quad_names=()) -> GmshData:
+    if len(hexes):
+        # 3D hex mesh: the quads are boundary faces, grouped by their
+        # physical surface name
+        surfaces = {}
+        for q, name in zip(quads, quad_names):
+            surfaces.setdefault(name, []).append(q)
+        return GmshData(
+            vertices=xyz.copy(),
+            quads=np.zeros((0, 4), dtype=np.int32),
+            lines={},
+            hexes=np.asarray(hexes, dtype=np.int32),
+            surfaces={k: np.asarray(v, dtype=np.int32)
+                      for k, v in surfaces.items()})
     if not quads:
-        raise ValueError("no quad (type-3) elements found; only 2D quad "
-                         "meshes are supported on the unstructured path")
+        raise ValueError("no quad (type-3) or hex (type-5) elements found; "
+                         "only quad/hex meshes are supported")
     z = xyz[:, 2]
     if np.abs(z - z[0]).max() > 1e-12:
-        raise ValueError("mesh is not planar; 3D unstructured meshes are "
-                         "not supported yet")
+        raise ValueError("2D mesh is not planar (and no hex cells found)")
     lines = {k: np.asarray(v, dtype=np.int32) for k, v in lines_acc.items()}
     return GmshData(vertices=xyz[:, :2].copy(),
                     quads=np.asarray(quads, dtype=np.int32),

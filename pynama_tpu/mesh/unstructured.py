@@ -17,9 +17,9 @@ dense KLE matrices via the batched path of `elements/kle.py`, and the
 global operators run through the general gather/segment-sum `ops/apply.py`
 path (`incidence` has whatever fan-in the mesh demands — no 2**dim cap).
 
-3D unstructured (hex) meshes are not supported yet: face-node orientation
-needs the 8-symmetry fixup table; the reference only exercises 2D gmsh
-meshes (`src/tests/test_domain.py:41-71`).
+3D unstructured (hex) meshes live in `mesh/unstructured3d.py` (HexMesh),
+which adds the face-node 8-symmetry orientation rules; use
+`pynama_tpu.mesh.mesh_from_gmsh` to dispatch on the file contents.
 """
 from __future__ import annotations
 

@@ -109,3 +109,68 @@ def write_msh41(path, verts, quads, lines):
             f.write(f"{eid} " + " ".join(str(c + 1) for c in q) + "\n")
             eid += 1
         f.write("$EndElements\n")
+
+
+# ----------------------------------------------------------------- 3D hexes
+def grid_hex_mesh(nx, ny, nz, distort=0.0, seed=0):
+    """-> (vertices (V,3), hexes (C,8) gmsh order, surfaces {name: (B,4)})"""
+    xs = [np.linspace(0, 1, n + 1) for n in (nx, ny, nz)]
+    X, Y, Z = np.meshgrid(*xs, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1)
+    if distort:
+        rng = np.random.default_rng(seed)
+        h = np.array([1 / nx, 1 / ny, 1 / nz])
+        interior = np.all((verts > 1e-12) & (verts < 1 - 1e-12), axis=1)
+        verts[interior] += (rng.uniform(-1, 1, (interior.sum(), 3))
+                            * distort * h)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    hexes = [[vid(i, j, k), vid(i + 1, j, k), vid(i + 1, j + 1, k),
+              vid(i, j + 1, k), vid(i, j, k + 1), vid(i + 1, j, k + 1),
+              vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1)]
+             for i in range(nx) for j in range(ny) for k in range(nz)]
+    surf = {
+        "left": [[vid(0, j, k), vid(0, j + 1, k), vid(0, j + 1, k + 1),
+                  vid(0, j, k + 1)] for j in range(ny) for k in range(nz)],
+        "right": [[vid(nx, j, k), vid(nx, j + 1, k), vid(nx, j + 1, k + 1),
+                   vid(nx, j, k + 1)] for j in range(ny) for k in range(nz)],
+        "down": [[vid(i, 0, k), vid(i + 1, 0, k), vid(i + 1, 0, k + 1),
+                  vid(i, 0, k + 1)] for i in range(nx) for k in range(nz)],
+        "up": [[vid(i, ny, k), vid(i + 1, ny, k), vid(i + 1, ny, k + 1),
+                vid(i, ny, k + 1)] for i in range(nx) for k in range(nz)],
+        "back": [[vid(i, j, 0), vid(i + 1, j, 0), vid(i + 1, j + 1, 0),
+                  vid(i, j + 1, 0)] for i in range(nx) for j in range(ny)],
+        "front": [[vid(i, j, nz), vid(i + 1, j, nz), vid(i + 1, j + 1, nz),
+                   vid(i, j + 1, nz)] for i in range(nx) for j in range(ny)],
+    }
+    return (verts, np.asarray(hexes, np.int32),
+            {k: np.asarray(v, np.int32) for k, v in surf.items()})
+
+
+def write_msh22_3d(path, verts, hexes, surf):
+    names = list(surf.keys())
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        f.write("$PhysicalNames\n%d\n" % (len(names) + 1))
+        for t, n in enumerate(names, start=1):
+            f.write(f'2 {t} "{n}"\n')
+        f.write('3 99 "fluid"\n$EndPhysicalNames\n')
+        f.write("$Nodes\n%d\n" % len(verts))
+        for k, (x, y, z) in enumerate(verts, start=1):
+            f.write(f"{k} {x:.16g} {y:.16g} {z:.16g}\n")
+        f.write("$EndNodes\n")
+        ne = sum(len(v) for v in surf.values()) + len(hexes)
+        f.write("$Elements\n%d\n" % ne)
+        eid = 1
+        for t, n in enumerate(names, start=1):
+            for q in surf[n]:
+                f.write(f"{eid} 3 2 {t} {t} "
+                        + " ".join(str(c + 1) for c in q) + "\n")
+                eid += 1
+        for h in hexes:
+            f.write(f"{eid} 5 2 99 1 "
+                    + " ".join(str(c + 1) for c in h) + "\n")
+            eid += 1
+        f.write("$EndElements\n")
