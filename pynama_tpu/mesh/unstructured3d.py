@@ -96,6 +96,24 @@ def _face_index_map(corners, k):
     return ((iu - 1) * k + (iv - 1)).astype(np.int64)
 
 
+def _face_class_maps(k: int) -> np.ndarray:
+    """(8, k, k) canonical-index maps, one per face symmetry class
+    (min-corner position 0..3) x (u-neighbor = first/second of its two
+    cycle neighbors). Built by realizing each class with synthetic ids."""
+    nb_pairs = {0: (1, 2), 1: (0, 3), 2: (0, 3), 3: (1, 2)}
+    maps = np.empty((8, k, k), dtype=np.int64)
+    for k0 in range(4):
+        for f in (0, 1):
+            ids = [0, 0, 0, 0]
+            ids[k0] = 0
+            u = nb_pairs[k0][f]
+            v = nb_pairs[k0][1 - f]
+            w = ({0, 1, 2, 3} - {k0, u, v}).pop()
+            ids[u], ids[v], ids[w] = 1, 2, 3
+            maps[k0 * 2 + f] = _face_index_map(ids, k)
+    return maps
+
+
 @dataclasses.dataclass(frozen=True)
 class HexMesh:
     ngl: int
@@ -227,56 +245,74 @@ class HexMesh:
 
     @cached_property
     def cell_nodes(self) -> np.ndarray:
-        """(C, ngl^3) global node ids, tensor order (a0 slowest)."""
+        """(C, ngl^3) global node ids, tensor order (a0 slowest).
+
+        Fully vectorized over cells: the face index map depends only on
+        the face's symmetry class — (position of the min-id corner) x
+        (which of its two neighbors is smaller) = 8 classes — so the 8
+        (k, k) maps are precomputed and gathered per (cell, face-slot).
+        """
         N = self.ngl
         k = N - 2
-        ct = self.cells_tensor
+        C = self.n_cells
+        ct = self.cells_tensor.astype(np.int64)
         edges, cell_edges = self._edge_table
         faces, cell_faces = self._face_table
         int_base = (self.n_vertices + self.n_edges * k
                     + self.n_faces * k * k)
-        out = np.empty((self.n_cells, N, N, N), dtype=np.int64)
-        corner_pos = [(a0 * (N - 1), a1 * (N - 1), a2 * (N - 1))
-                      for a0 in (0, 1) for a1 in (0, 1) for a2 in (0, 1)]
-        # edge placements: slices for each of the 12 edges
+        out = np.empty((C, N, N, N), dtype=np.int64)
         inner = slice(1, N - 1)
         lohi = (0, N - 1)
-        edge_place = []
+
+        # corners
+        ci = 0
+        for a0 in (0, 1):
+            for a1 in (0, 1):
+                for a2 in (0, 1):
+                    out[:, lohi[a0], lohi[a1], lohi[a2]] = ct[:, ci]
+                    ci += 1
+        if not k:
+            return out.reshape(C, self.nnode_el).astype(np.int32)
+
+        # edges (vectorized over cells per slot)
+        ar = np.arange(k)
         for i, (a, b) in enumerate(_EDGES):
-            if i < 4:      # along a2
+            e = cell_edges[:, i].astype(np.int64)
+            rev = ct[:, a] > ct[:, b]
+            ids = (self.n_vertices + e[:, None] * k
+                   + np.where(rev[:, None], k - 1 - ar, ar))
+            if i < 4:
                 a0, a1 = lohi[(a >> 2) & 1], lohi[(a >> 1) & 1]
-                edge_place.append((a0, a1, inner))
-            elif i < 8:    # along a1
+                out[:, a0, a1, inner] = ids
+            elif i < 8:
                 a0, a2 = lohi[(a >> 2) & 1], lohi[a & 1]
-                edge_place.append((a0, inner, a2))
-            else:          # along a0
+                out[:, a0, inner, a2] = ids
+            else:
                 a1, a2 = lohi[(a >> 1) & 1], lohi[a & 1]
-                edge_place.append((inner, a1, a2))
-        face_place = [(0,), (N - 1,)]
-        for c in range(self.n_cells):
-            corners = ct[c]
-            for ci, (p0, p1, p2) in enumerate(corner_pos):
-                out[c, p0, p1, p2] = corners[ci]
-            if not k:
-                continue
-            for s, ((a, b), place) in enumerate(zip(_EDGES, edge_place)):
-                e = cell_edges[c, s]
-                out[c][place] = self._edge_nodes(
-                    e, corners[a] > corners[b])
-            for s, (loc, axis, side) in enumerate(_FACES):
-                fidx = cell_faces[c, s]
-                # index map computed from THIS cell's corner quadruple —
-                # canonical frame depends only on ids, so it matches the
-                # representative used by the neighboring cell
-                m = _face_index_map(ct[c, list(loc)], k)
-                ids = self._face_base(fidx) + m          # (k, k) in (p,q)
-                sl = [inner, inner, inner]
-                sl[axis] = (0 if side == 0 else N - 1)
-                out[c][tuple(sl)] = ids
-            ib = int_base + c * k ** 3
-            out[c, inner, inner, inner] = \
-                np.arange(ib, ib + k ** 3).reshape(k, k, k)
-        return out.reshape(self.n_cells, self.nnode_el).astype(np.int32)
+                out[:, inner, a1, a2] = ids
+
+        # faces: 8 symmetry-class maps, gathered per cell
+        class_maps = _face_class_maps(k)              # (8, k, k)
+        nb_pairs = {0: (1, 2), 1: (0, 3), 2: (0, 3), 3: (1, 2)}
+        for s, (loc, axis, side) in enumerate(_FACES):
+            quad = ct[:, list(loc)]                   # (C, 4)
+            fidx = cell_faces[:, s].astype(np.int64)
+            k0 = np.argmin(quad, axis=1)
+            nbA = np.array([nb_pairs[i][0] for i in range(4)])[k0]
+            nbB = np.array([nb_pairs[i][1] for i in range(4)])[k0]
+            u_first = quad[np.arange(C), nbA] < quad[np.arange(C), nbB]
+            cls = k0 * 2 + (~u_first).astype(np.int64)
+            ids = (self._face_base(0) + fidx[:, None, None] * k * k
+                   + class_maps[cls])
+            sl = [slice(None), inner, inner, inner]
+            sl[1 + axis] = (0 if side == 0 else N - 1)
+            out[tuple(sl)] = ids
+
+        # interiors
+        grid = np.arange(k ** 3).reshape(k, k, k)
+        out[:, inner, inner, inner] = (
+            int_base + np.arange(C)[:, None, None, None] * k ** 3 + grid)
+        return out.reshape(C, self.nnode_el).astype(np.int32)
 
     @cached_property
     def cell_corners(self) -> np.ndarray:
