@@ -39,7 +39,11 @@ class ImmersedBoundaryStatic(Problem):
         super().setUp()
         assert self.dim == 2, "IBM implemented for 2D (as the reference)"
         assert self.ngl < 4, "IBM Only implemented for NGL lower than 4"
-        self.h = self.mesh.node_separation()
+        # gmsh meshes may declare h-min explicitly (reference
+        # immersed_boundary.py:40: nodeSeparation = h-min / (ngl-1))
+        hmin = self.config.get("domain", {}).get("h-min")
+        self.h = (float(hmin) / (self.ngl - 1) if hmin is not None
+                  else self.mesh.node_separation())
         self.U_ref = self._free_stream_velocity()
         self.body = BodiesContainer(self.config["bodies"])
         self.body.create_bodies(self.h)
