@@ -99,3 +99,76 @@ def sharded_apply_op(sop: ShardedElementOp):
         return fn(sop.mat, sop.cell_nodes, x)
 
     return jax.jit(apply_)
+
+
+# --------------------------------------------------------------- KLE solve
+def _shard_apply_inner(sop: ShardedElementOp, mat, cn, x):
+    """Per-shard element apply + psum (shard_map-internal body)."""
+    if mat.ndim == 4:
+        mat = mat[0]
+    cn = cn[0]
+    xp = jnp.concatenate([x, jnp.zeros((1, sop.din), dtype=x.dtype)])
+    xe = xp[cn].reshape(cn.shape[0], -1)
+    if mat.ndim == 2:
+        ze = jnp.matmul(xe, mat.T, precision=jax.lax.Precision.HIGHEST)
+    else:
+        ze = jnp.einsum("eij,ej->ei", mat, xe,
+                        precision=jax.lax.Precision.HIGHEST)
+    zf = ze.reshape(-1, sop.dout)
+    y = jnp.zeros((sop.n_nodes + 1, sop.dout), dtype=x.dtype)
+    y = y.at[cn.reshape(-1)].add(zf)
+    return jax.lax.psum(y[:sop.n_nodes], AXIS)
+
+
+def make_sharded_kle_solver(problem, ndev: int, devices=None):
+    """Element-sharded masked KLE solves for unstructured meshes.
+
+    Returns (solve, solve_fs) mirroring `KLESolver.solve/solve_fs`
+    (`solver/kle.py`) with the K/Rw applications sharded over the device
+    mesh: vectors stay replicated (dots and the CG recurrence run
+    identically on every shard), each operator application fans the
+    element work out and one psum assembles — the whole CG runs inside a
+    single jitted shard_map. BCs are applied by the caller exactly as in
+    `Problem.solve_kle`'s global path.
+    """
+    from pynama_tpu.solver.cg import pcg
+
+    kle = problem.kle
+    devices = devices if devices is not None else jax.devices()[:ndev]
+    sK = shard_element_op(kle.K_op, ndev, devices)
+    sR = shard_element_op(kle.Rw_op, ndev, devices)
+
+    def make(sys):
+        free = sys.free
+        diag = sys.diag
+        con = 1.0 - free
+        dmask = free * diag + con
+
+        def body(matK, cnK, matR, cnR, vort, vel):
+            applyK = lambda v: _shard_apply_inner(sK, matK, cnK, v)
+            applyR = lambda w: _shard_apply_inner(sR, matR, cnR, w)
+            vc = con * vel
+            b = free * (applyR(vort) - applyK(vc)) + vc
+            A = lambda v: free * applyK(free * v) + con * v
+            res = pcg(A, b, free * vel + vc, M_inv=lambda r: r / dmask,
+                      rtol=sys.cg_rtol, atol=sys.cg_atol,
+                      maxiter=sys.cg_maxiter)
+            return res.x
+
+        fn = jax.shard_map(
+            body, mesh=sK.mesh,
+            in_specs=(P(AXIS) if sK.mat.ndim >= 3 else P(), P(AXIS),
+                      P(AXIS) if sR.mat.ndim >= 3 else P(), P(AXIS),
+                      P(), P()),
+            out_specs=P(), check_vma=False)
+
+        @jax.jit
+        def solve(vort, vel):
+            return fn(sK.mat, sK.cell_nodes, sR.mat, sR.cell_nodes,
+                      vort, vel)
+
+        return solve
+
+    solve = make(kle.main)
+    solve_fs = make(kle.fs) if kle.fs is not None else None
+    return solve, solve_fs
