@@ -46,6 +46,10 @@ class UnstructuredMesh:
     @staticmethod
     def from_gmsh(path: str, ngl: int) -> "UnstructuredMesh":
         data = read_msh(path)
+        if data.is_3d:
+            raise ValueError(
+                f"{path} contains hex volumes; use HexMesh.create or "
+                "pynama_tpu.mesh.mesh_from_gmsh (auto-dispatch)")
         return UnstructuredMesh.create(ngl, data.vertices, data.quads,
                                        data.lines)
 
