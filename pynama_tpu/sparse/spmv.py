@@ -34,14 +34,17 @@ def spmv_ell(A: ELL, x: jax.Array) -> jax.Array:
 
 
 def spmv_csr(A: CSR, x: jax.Array) -> jax.Array:
-    vals = A.data * x[A.indices]
+    """x: (ncols,) or (ncols, m) — the multi-vector case is SpMM."""
+    data = A.data if x.ndim == 1 else A.data[:, None]
+    vals = data * x[A.indices]
     rows = jnp.repeat(jnp.arange(A.shape[0]), jnp.diff(A.indptr),
                       total_repeat_length=A.data.shape[0])
     return segment_sum(vals, rows, num_segments=A.shape[0])
 
 
 def spmv_coo(A: COO, x: jax.Array) -> jax.Array:
-    return segment_sum(A.data * x[A.col], A.row, num_segments=A.shape[0])
+    data = A.data if x.ndim == 1 else A.data[:, None]
+    return segment_sum(data * x[A.col], A.row, num_segments=A.shape[0])
 
 
 def spmv_bsr(A: BSR, x: jax.Array) -> jax.Array:
