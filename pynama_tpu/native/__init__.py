@@ -29,13 +29,22 @@ _lib = None
 
 
 def _build() -> bool:
+    # compile to a unique temp path and os.replace() atomically so two
+    # concurrent processes (parallel pytest, multi-host shared fs) never
+    # CDLL a partially written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           "-o", _LIB, _SRC, "-lpthread"]
+           "-o", tmp, _SRC, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception as e:  # noqa: BLE001 - any build failure -> fallback
         logger.warning("native build failed (%s); using numpy fallbacks", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -165,6 +165,7 @@ struct Writer {
     std::condition_variable cv;
     std::deque<std::pair<std::string, std::vector<char>>> queue;
     bool stop = false;
+    bool in_flight = false;  // job popped but not yet fully on disk
     int64_t max_queue = 4;
 
     void run() {
@@ -179,11 +180,16 @@ struct Writer {
                 }
                 job = std::move(queue.front());
                 queue.pop_front();
+                in_flight = true;
             }
             FILE* f = std::fopen(job.first.c_str(), "wb");
             if (f) {
                 std::fwrite(job.second.data(), 1, job.second.size(), f);
                 std::fclose(f);
+            }
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                in_flight = false;
             }
             cv.notify_all();
         }
@@ -216,7 +222,7 @@ void pn_writer_submit(void* handle, const char* path,
 void pn_writer_flush(void* handle) {
     Writer* w = static_cast<Writer*>(handle);
     std::unique_lock<std::mutex> lk(w->mu);
-    w->cv.wait(lk, [&] { return w->queue.empty(); });
+    w->cv.wait(lk, [&] { return w->queue.empty() && !w->in_flight; });
 }
 
 void pn_writer_destroy(void* handle) {

@@ -107,8 +107,13 @@ def gmres(A: Callable, b: jax.Array, x0: jax.Array,
             c_j = jnp.where(denom > eps, h[j] / jnp.maximum(denom, eps), 1.0)
             s_j = jnp.where(denom > eps, h[j + 1] / jnp.maximum(denom, eps),
                             0.0)
-            h = h.at[j].set(denom).at[j + 1].set(0.0)
-            g = g.at[j + 1].set(-s_j * g[j]).at[j].set(c_j * g[j])
+            # on exact breakdown (denom<=eps: Krylov space exhausted) keep
+            # the triangular solve nonsingular: unit diagonal, zero rhs so
+            # y[j]=0 and x is unchanged by this column.
+            ok = denom > eps
+            h = h.at[j].set(jnp.where(ok, denom, 1.0)).at[j + 1].set(0.0)
+            g = g.at[j + 1].set(-s_j * g[j]) \
+                 .at[j].set(jnp.where(ok, c_j * g[j], 0.0))
 
             R = R.at[:, j].set(h)
             return (V, R.astype(dtype), cs.at[j].set(c_j), sn.at[j].set(s_j),

@@ -64,6 +64,10 @@ def spgemm(A, B) -> CSR:
     out_cols = cols[new]
     indptr = np.zeros(ashape[0] + 1, dtype=np.int64)
     np.add.at(indptr, out_rows + 1, 1)
+    if nnz > np.iinfo(np.int32).max or bshape[1] > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"spgemm result exceeds int32 index range (nnz={nnz}, "
+            f"ncols={bshape[1]}); CSR uses int32 indices")
     return CSR(data=out_vals, indices=out_cols.astype(np.int32),
                indptr=np.cumsum(indptr).astype(np.int32),
                shape=(ashape[0], bshape[1]))
