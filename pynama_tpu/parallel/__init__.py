@@ -1,2 +1,2 @@
-from pynama_tpu.parallel.slab import SlabPartition, make_partition
-from pynama_tpu.parallel.sharded import ShardedKLE
+from pynama_tpu.parallel.sharded_engine import ShardedEngine, \
+    build_sharded_ops

@@ -104,3 +104,11 @@ def test_sharded_3d():
     f_s, _ = rhs(sk.ops_s, 0.0, vort_s, vel_s)
     np.testing.assert_allclose(sk.gather_state(f_s, 3), f_ref,
                                rtol=1e-7, atol=1e-8)
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out[0])).all()
+    ge.dryrun_multichip(8)
