@@ -271,13 +271,26 @@ class Problem:
         return f, vel
 
     # ----------------------------------------------------------- time solving
-    def start_solver(self, post_step=None, dt0=None, atol=1e-4, rtol=1e-4):
-        """Integrate vorticity from start to end time (reference ts.solve)."""
+    def start_solver(self, post_step=None, dt0=None, atol=1e-4, rtol=1e-4,
+                     tableau="5bs"):
+        """Integrate vorticity from start to end time (reference ts.solve).
+
+        With opts `ndev=N` (N>1) the whole transient runs device-sharded
+        over an N-device 1D mesh (the reference's `mpiexec -n N` analog,
+        makefile:2-7)."""
         if dt0 is None:
             dt0 = (self.end_time - self.start_time) / (10 * self.max_steps)
 
+        ndev = int(self.opts.get("ndev", 1))
+        if ndev > 1:
+            if self.engine_ops is None:
+                raise ValueError("ndev>1 requires the element-local engine "
+                                 "(box mesh + iterative solver)")
+            return self._start_solver_sharded(post_step, dt0, atol, rtol,
+                                              tableau, ndev)
         if self.engine_ops is not None:
-            return self._start_solver_local(post_step, dt0, atol, rtol)
+            return self._start_solver_local(post_step, dt0, atol, rtol,
+                                            tableau)
 
         def _post(step, t, dt, y, aux):
             logger.info("Converged: Step %4d | Time %.4e | dt %.2e",
@@ -291,11 +304,35 @@ class Problem:
         t, vort, vel, steps = adaptive_solve(
             self.rhs, self.start_time, self.end_time, self.vort, self.vel,
             dt0=dt0, max_steps=self.max_steps, atol=atol, rtol=rtol,
-            post_step=_post, accept_fn=_accept)
+            tableau=tableau, post_step=_post, accept_fn=_accept)
         self.vort, self.vel = vort, vel
         return t, steps
 
-    def _start_solver_local(self, post_step, dt0, atol, rtol):
+    def _start_solver_sharded(self, post_step, dt0, atol, rtol, tableau,
+                              ndev):
+        """End-to-end multi-device transient over ShardedEngine: the state
+        stays sharded for the whole run; gathers happen only on post_step
+        (saves/logs) and at the end."""
+        from pynama_tpu.parallel import ShardedEngine
+        se = ShardedEngine(self, ndev)
+        vort_s, vel_s = se.shard_state(self.vort, self.vel)
+
+        def _post(step, t, dt, y_s, aux_s):
+            logger.info("Converged: Step %4d | Time %.4e | dt %.2e",
+                        step, t, dt)
+            if post_step is not None:
+                post_step(step, t, dt, se.gather_state(y_s, self.dim_w),
+                          se.gather_state(aux_s, self.dim))
+
+        t, vort_s, vel_s, steps = se.start_solver(
+            vort_s, vel_s, self.start_time, self.end_time, self.max_steps,
+            dt0=dt0, atol=atol, rtol=rtol, tableau=tableau, post_step=_post)
+        self.vort = jnp.asarray(se.gather_state(vort_s, self.dim_w))
+        self.vel = jnp.asarray(se.gather_state(vel_s, self.dim))
+        return t, steps
+
+    def _start_solver_local(self, post_step, dt0, atol, rtol,
+                            tableau="5bs"):
         """Adaptive integration entirely in the element-local layout; state
         is converted at the boundaries of the run (and per save when a
         post_step consumer is attached)."""
@@ -316,7 +353,7 @@ class Problem:
             _rhs, self.start_time, self.end_time,
             self.to_local(self.vort), self.to_local(self.vel),
             dt0=dt0, max_steps=self.max_steps, atol=atol, rtol=rtol,
-            post_step=_post,
+            tableau=tableau, post_step=_post,
             accept_fn=lambda t, y, ops: apply_vorticity_bc(ops, y, t),
             params=self.engine_ops,
             err_norm=lambda e, ops: rk_error_norm(ops, e))
@@ -333,7 +370,8 @@ class Problem:
         self.viewer.configure(self.dim, self.config.get("save-dir"))
         self.viewer.save_mesh(np.asarray(self.mesh.coords))
 
-    def run(self, atol=1e-4, rtol=1e-4, dt0=None, log_diagnostics=False):
+    def run(self, atol=1e-4, rtol=1e-4, dt0=None, tableau="5bs",
+            log_diagnostics=False):
         """Production run: integrate + save fields every save-n-steps
         (reference convergedStepFunction, base_problem.py:93-103)."""
         save_every = int(self.config.get("save-n-steps", 1))
@@ -350,7 +388,7 @@ class Problem:
                             d["enstrophy"], d["div_l2"])
 
         t, steps = self.start_solver(post_step=post, atol=atol, rtol=rtol,
-                                     dt0=dt0)
+                                     dt0=dt0, tableau=tableau)
         if self.viewer is not None:
             self.viewer.write_xmf(self.case_name)
         return t, steps

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pynama_tpu.engine import local_engine as E
 from pynama_tpu.ops import local as L
-from pynama_tpu.solver.timestep import get_tableau, make_step
+from pynama_tpu.solver.timestep import adaptive_loop, get_tableau, make_step
 
 AXIS = "dp"
 
@@ -160,3 +160,49 @@ class ShardedEngine:
             in_specs=(self._spec_ops, P(), P(), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(), P(AXIS)), check_vma=False)
         return jax.jit(fn)
+
+    def make_accept_bc(self):
+        """jit(shard_map(apply_vorticity_bc)): pin boundary vorticity on the
+        accepted sharded state (the reference's in-place BC application to
+        the TS solution vector, base_problem.py:115)."""
+        def body(ops_s, t, vort):
+            ops = jax.tree.map(lambda x: x[0], ops_s)
+            return E.apply_vorticity_bc(ops, vort[0], t)[None]
+
+        fn = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(self._spec_ops, P(), P(AXIS)),
+            out_specs=P(AXIS), check_vma=False)
+        return jax.jit(fn)
+
+    # ------------------------------------------------------- production loop
+    def start_solver(self, vort_s, vel_s, t0, t_end, max_steps,
+                     dt0=None, atol=1e-4, rtol=1e-4, tableau="5bs",
+                     post_step=None):
+        """End-to-end sharded transient: host accept/reject dt controller
+        (PETSc TSAdapt analog) driving the shard_map trial step. State stays
+        device-sharded across the whole run; only the scalar error norm
+        crosses to host per attempt. post_step(step, t, dt, vort_s, vel_s)
+        receives the SHARDED arrays — gather with `gather_state` only when
+        actually saving. Returns (t, vort_s, vel_s, accepted_steps).
+
+        This is the TPU-native form of the reference's headline parallel
+        capability `mpiexec -n N python src/run_case.py -case ...`
+        (reference makefile:2-7)."""
+        if dt0 is None:
+            dt0 = (t_end - t0) / (10 * max_steps)
+        att = self.make_attempt(tableau=tableau, atol=atol, rtol=rtol)
+        acc = self.make_accept_bc()
+
+        def attempt(t, dt, y, aux):
+            y2, enorm, aux2 = att(self.ops_s, t, dt, y, aux)
+            from pynama_tpu.solver.timestep import StepResult
+            return StepResult(y=y2, enorm=enorm, aux=aux2)
+
+        tab = get_tableau(tableau)
+        t, vort_s, vel_s, steps = adaptive_loop(
+            attempt, t0, t_end, vort_s, vel_s, dt0=dt0,
+            max_steps=max_steps, order=tab.order,
+            accept_fn=lambda t, y: acc(self.ops_s, t, y),
+            post_step=post_step)
+        return t, vort_s, vel_s, steps

@@ -68,7 +68,16 @@ def time_solving(cfg: dict, args):
         p.start_time = ck["t"]
         logger.info("resumed from %s at t=%g step=%d", args.resume,
                     ck["t"], ck["step"])
-    t, steps = p.run(log_diagnostics=args.diag)
+    ts_kw = {}
+    if args.rtol is not None:
+        ts_kw["rtol"] = args.rtol
+    if args.atol is not None:
+        ts_kw["atol"] = args.atol
+    if args.dt0 is not None:
+        ts_kw["dt0"] = args.dt0
+    if args.tableau is not None:
+        ts_kw["tableau"] = args.tableau
+    t, steps = p.run(log_diagnostics=args.diag, **ts_kw)
     logger.info("Total time: %.3fs (%d steps to t=%g)", timer.toc(), steps, t)
     if args.checkpoint:
         from pynama_tpu.io import save_checkpoint
@@ -169,6 +178,18 @@ def _overrides(args, skip_ngl=False):
         kw["nelem"] = args.nelem
     if args.solver:
         kw["solver"] = args.solver
+    # solver tuning (the reference forwards any -ksp_* flag into
+    # KSP.setFromOptions, kle_solver.py:62; these are the TPU analogs)
+    if args.cg_rtol is not None:
+        kw["cg_rtol"] = args.cg_rtol
+    if args.cg_atol is not None:
+        kw["cg_atol"] = args.cg_atol
+    if args.maxiter is not None:
+        kw["cg_maxiter"] = args.maxiter
+    if args.pc is not None:
+        kw["pc"] = args.pc
+    if getattr(args, "ndev", None):
+        kw["ndev"] = args.ndev
     return kw
 
 
@@ -185,6 +206,27 @@ def main(argv=None):
     ap.add_argument("-nelem", type=int, nargs="+", default=None)
     ap.add_argument("-solver", default=None,
                     choices=["cg", "gmres", "direct", "auto"])
+    ap.add_argument("-ndev", type=int, default=None,
+                    help="run the transient sharded over N devices "
+                         "(the reference's mpiexec -n N analog)")
+    # KLE (KSP) solver tuning — the reference's -ksp_* passthrough analog
+    ap.add_argument("-cg-rtol", dest="cg_rtol", type=float, default=None,
+                    help="KLE Krylov relative tolerance")
+    ap.add_argument("-cg-atol", dest="cg_atol", type=float, default=None,
+                    help="KLE Krylov absolute tolerance")
+    ap.add_argument("-maxiter", type=int, default=None,
+                    help="KLE Krylov max iterations")
+    ap.add_argument("-pc", default=None, choices=["jacobi", "schwarz", "mg"],
+                    help="KLE preconditioner")
+    # TS tuning — the reference's -ts_* passthrough analog
+    ap.add_argument("-rtol", type=float, default=None,
+                    help="adaptive-RK relative tolerance")
+    ap.add_argument("-atol", type=float, default=None,
+                    help="adaptive-RK absolute tolerance")
+    ap.add_argument("-dt0", type=float, default=None,
+                    help="initial timestep")
+    ap.add_argument("-tableau", default=None, choices=["5bs", "5dp"],
+                    help="embedded RK pair")
     ap.add_argument("-trace", default=None, metavar="DIR",
                     help="capture a jax device trace into DIR")
     ap.add_argument("-diag", action="store_true",

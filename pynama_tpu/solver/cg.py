@@ -42,17 +42,24 @@ def pcg(A: Callable, b: jax.Array, x0: jax.Array,
     r0 = b - A(x0)
     z0 = M_inv(r0)
     gamma0 = dot(r0, z0)
-    bnorm = jnp.sqrt(dot(b, b))
-    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+    bnorm2 = dot(b, b)
+    tol2 = jnp.maximum(rtol * jnp.sqrt(bnorm2), atol) ** 2
 
     def cond(state):
         x, r, z, p, gamma, k = state
-        return jnp.logical_and(dot(r, r) > tol2, k < maxiter)
+        # gamma == 0: exact convergence (or M-degenerate breakdown) — the
+        # next beta would be 0/0. bnorm2 == 0: A SPD => x = 0, no iterations
+        # (PETSc KSPConvergedDefault's zero-rhs semantics); without this the
+        # atol=0 default makes tol2 == 0 unreachable in floating point and
+        # gamma underflow turns the solve into NaNs.
+        run = jnp.logical_and(dot(r, r) > tol2, k < maxiter)
+        return jnp.logical_and(run, jnp.logical_and(gamma > 0, bnorm2 > 0))
 
     def body(state):
         x, r, z, p, gamma, k = state
         Ap = A(p)
-        alpha = gamma / dot(p, Ap)
+        pAp = dot(p, Ap)
+        alpha = jnp.where(pAp > 0, gamma / jnp.where(pAp > 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M_inv(r)
@@ -63,4 +70,5 @@ def pcg(A: Callable, b: jax.Array, x0: jax.Array,
 
     state = (x0, r0, z0, z0, gamma0, jnp.array(0, dtype=jnp.int32))
     x, r, _, _, _, k = jax.lax.while_loop(cond, body, state)
+    x = jnp.where(bnorm2 > 0, x, jnp.zeros_like(x))
     return CGResult(x=x, iters=k, residual=jnp.sqrt(dot(r, r)))

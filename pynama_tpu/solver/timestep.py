@@ -178,6 +178,52 @@ class AdaptiveStepper:
                 raise RuntimeError("timestep underflow (step rejected)")
 
 
+def adaptive_loop(attempt: Callable, t0: float, t_end: float, y0, aux0,
+                  dt0: float, max_steps: int, order: int,
+                  safety: float = 0.9, clip: tuple = (0.1, 10.0),
+                  dt_min: float = 1e-14,
+                  post_step: Optional[Callable] = None,
+                  accept_fn: Optional[Callable] = None):
+    """Host accept/reject driver over a trial-step function (MATCHSTEP
+    semantics — the step controller of PETSc TSAdapt 'basic').
+
+    attempt(t, dt, y, aux) -> StepResult is any (jitted) trial stepper —
+    single-device or a `shard_map` program over a device mesh; y/aux may be
+    sharded jax.Arrays, the loop only pulls the scalar error norm to host.
+    accept_fn(t, y) -> y transforms every accepted state (pins boundary
+    values, matching the reference's in-place BC application,
+    base_problem.py:115); post_step(step, t, dt, y, aux) fires per accepted
+    step. Returns (t, y, aux, accepted_steps)."""
+    expo = -1.0 / order
+    t, y, aux, dt = float(t0), y0, aux0, float(dt0)
+    step = 0
+    while step < max_steps and t < t_end - 1e-14 * max(1.0, abs(t_end)):
+        dt = min(dt, t_end - t)
+        res = attempt(t, dt, y, aux)
+        enorm = float(res.enorm)
+        if not np.isfinite(enorm):
+            dt *= 0.25
+            if dt < dt_min:
+                raise RuntimeError("timestep underflow (non-finite error)")
+            continue
+        factor = safety * (max(enorm, 1e-30)) ** expo
+        factor = min(max(factor, clip[0]), clip[1])
+        if enorm <= 1.0:
+            t += dt
+            step += 1
+            y, aux = res.y, res.aux
+            if accept_fn is not None:
+                y = accept_fn(t, y)
+            if post_step is not None:
+                post_step(step, t, dt, y, aux)
+            dt = dt * factor
+        else:
+            dt = dt * factor
+            if dt < dt_min:
+                raise RuntimeError("timestep underflow (step rejected)")
+    return t, y, aux, step
+
+
 def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
                    dt0: float = 1e-3, max_steps: int = 10_000,
                    atol: float = 1e-4, rtol: float = 1e-4,
@@ -206,31 +252,10 @@ def adaptive_solve(rhs: Callable, t0: float, t_end: float, y0, aux0,
     if jit:
         attempt = jax.jit(attempt)
     pargs = (params,) if with_params else ()
-    expo = -1.0 / tab.order
-    t, y, aux, dt = float(t0), y0, aux0, float(dt0)
-    step = 0
-    while step < max_steps and t < t_end - 1e-14 * max(1.0, abs(t_end)):
-        dt = min(dt, t_end - t)
-        res = attempt(t, dt, y, aux, *pargs)
-        enorm = float(res.enorm)
-        if not np.isfinite(enorm):
-            dt *= 0.25
-            if dt < dt_min:
-                raise RuntimeError("timestep underflow (non-finite error)")
-            continue
-        factor = safety * (max(enorm, 1e-30)) ** expo
-        factor = min(max(factor, clip[0]), clip[1])
-        if enorm <= 1.0:
-            t += dt
-            step += 1
-            y, aux = res.y, res.aux
-            if accept_fn is not None:
-                y = accept_fn(t, y, *pargs)
-            if post_step is not None:
-                post_step(step, t, dt, y, aux)
-            dt = dt * factor
-        else:
-            dt = dt * factor
-            if dt < dt_min:
-                raise RuntimeError("timestep underflow (step rejected)")
-    return t, y, aux, step
+    att = (lambda t, dt, y, aux: attempt(t, dt, y, aux, *pargs)) \
+        if with_params else attempt
+    acc = None if accept_fn is None \
+        else (lambda t, y: accept_fn(t, y, *pargs))
+    return adaptive_loop(att, t0, t_end, y0, aux0, dt0, max_steps,
+                         order=tab.order, safety=safety, clip=clip,
+                         dt_min=dt_min, post_step=post_step, accept_fn=acc)

@@ -46,3 +46,32 @@ def test_case_library_loads():
                  "senoidal", "flat-plate", "taylor-green3d"):
         cfg = run_case.load_case(name)
         assert "boundary-conditions" in cfg or "bodies" in cfg
+
+
+def test_ndev_production_run(tmp_path):
+    """-ndev N runs the sharded transient end-to-end (mpiexec -n analog)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run_case.main(["-case", "cavity-2d", "-log", "WARNING",
+                       "-nelem", "8", "4", "-ngl", "3", "-solver", "cg",
+                       "-ndev", "4", "-rtol", "1e-3", "-atol", "1e-3",
+                       "-dt0", "1e-3"])
+    finally:
+        os.chdir(cwd)
+
+
+def test_solver_tuning_flags(tmp_path):
+    """-cg-rtol/-maxiter/-tableau change solver behavior from the CLI
+    (the reference's -ksp_*/-ts_* setFromOptions analog)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run_case.main(["-case", "taylor-green", "-log", "WARNING",
+                       "-nelem", "3", "3", "-ngl", "3", "-solver", "cg",
+                       "-cg-rtol", "1e-8", "-maxiter", "500",
+                       "-tableau", "5dp", "-pc", "jacobi"])
+        with pytest.raises(SystemExit):
+            run_case.main(["-case", "taylor-green", "-tableau", "bogus"])
+    finally:
+        os.chdir(cwd)
