@@ -113,3 +113,42 @@ def test_chart_mode_smoke(tmp_path, monkeypatch):
                               max_ngl=4, resume=None, checkpoint=None)
     run_case.generate_chart(cfg, args)
     assert any(f.name.startswith("test-kle") for f in tmp_path.iterdir())
+
+
+def test_diagonal_cavity_runs(tmp_path, monkeypatch):
+    """3D diagonal-lid cavity (reference src/cases/diagonal-cavity.yaml)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = run_case.load_case("diagonal-cavity")
+    cfg["domain"]["box-mesh"]["nelem"] = [2, 2, 2]
+    cfg["time-solver"] = {"start-time": 0, "end-time": 0.02,
+                          "max-steps": 3}
+    cfg["save-dir"] = str(tmp_path / "out")
+    p = run_case.make_problem(cfg)
+    p.setUp()
+    p.setup_viewer()
+    t, steps = p.run()
+    assert steps >= 3
+    # the diagonal lid drives all three vorticity components
+    vort = np.asarray(p.vort)
+    assert np.isfinite(vort).all()
+    assert (np.abs(vort).max(axis=0) > 0).all()
+
+
+def test_flat_plate_fsns_runs(tmp_path, monkeypatch):
+    """Mixed FS-NS flat plate — the configuration the reference rejects
+    (base_problem.py:163) but this framework supports."""
+    monkeypatch.chdir(tmp_path)
+    cfg = run_case.load_case("flat-plate-FSNS")
+    cfg["domain"]["box-mesh"]["nelem"] = [3, 3]
+    cfg["domain"]["ngl"] = 3
+    t0 = float(cfg["time-solver"]["start-time"])
+    cfg["time-solver"] = {"start-time": t0, "end-time": t0 + 0.01,
+                          "max-steps": 3}
+    cfg["save-dir"] = str(tmp_path / "out")
+    p = run_case.make_problem(cfg)
+    p.setUp()
+    assert p.bc.bc_type == "FS-NS"
+    p.setup_viewer()
+    t, steps = p.run()
+    assert steps >= 3
+    assert np.isfinite(np.asarray(p.vort)).all()
