@@ -314,7 +314,9 @@ class Problem:
         stays sharded for the whole run; gathers happen only on post_step
         (saves/logs) and at the end."""
         from pynama_tpu.parallel import ShardedEngine
-        se = ShardedEngine(self, ndev)
+        se = ShardedEngine(self, ndev,
+                           overlap_dss=bool(self.opts.get("overlap_dss",
+                                                          False)))
         vort_s, vel_s = se.shard_state(self.vort, self.vel)
 
         def _post(step, t, dt, y_s, aux_s):

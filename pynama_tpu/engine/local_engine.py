@@ -96,6 +96,10 @@ class EngineOps:
     #: element-pseudoinverse for the overlapping-Schwarz preconditioner
     #: (transposed, (nncv, nncv)); None under pc="jacobi"
     KinvT: Optional[jax.Array]
+    #: fast-diagonalization data per masked system (solver/fdm.py);
+    #: None unless pc="fdm" on a box mesh
+    fdm_main: Optional[object]
+    fdm_fs: Optional[object]
     # scalars as 0-d arrays (data, not static — avoids recompiles)
     rho: jax.Array
     mu: jax.Array
@@ -128,6 +132,10 @@ class EngineOps:
     #: shard_map mesh-axis name when running slab-sharded, else None
     axis_name: Optional[str] = dataclasses.field(
         default=None, metadata=dict(static=True))
+    #: overlap the cross-shard DSS exchange with the bulk passes
+    #: (ops/local.py dss_overlapped); only meaningful when sharded
+    overlap_dss: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def n_cells(self):
@@ -204,6 +212,16 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         L.dss_np(mesh, np.tile(np.diagonal(KT_np)[None, :], (E, 1)), dim),
         dtype=npdt)
 
+    fdm_main = fdm_fs = None
+    if pc == "fdm":
+        from pynama_tpu.solver.fdm import build_fdm
+        diag_g = L.to_global(mesh, np.asarray(diag), dim)
+        fdm_main = build_fdm(mesh, bc.free_main, npdt, diag_global=diag_g)
+        fdm_fs = build_fdm(mesh, bc.free_fs, npdt, diag_global=diag_g) \
+            if bc.needs_fs_stage else None
+        if fdm_main is None:
+            pc = "jacobi"   # no tensor structure -> fall back
+
     KinvT = None
     if pc == "schwarz":
         # element pseudo-inverse: K_e is symmetric PSD with a small null
@@ -266,14 +284,15 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         mask_vel=tl(mvel), mask_vort=tl(mvort), mask_tang=tl(mtang),
         const_vel=tl(cvel), const_vort=tl(cvort), const_tang=tl(ctang),
         func_sides=tuple(func_sides),
-        KinvT=KinvT,
+        KinvT=KinvT, fdm_main=fdm_main, fdm_fs=fdm_fs,
         P_v2cm=jnp.asarray(_comp_perm_idx(nn, dim)),
         P_cm2s=jnp.asarray(_comp_unperm_idx(nn, dim_s)),
         rho=zdt(rho), mu=zdt(mu), nu=zdt(mu / rho),
         ngl=mesh.ngl, nelem=tuple(mesh.nelem), dim=dim, dim_w=dim_w,
         dim_s=dim_s, is_ns=bc.needs_fs_stage,
         cg_rtol=float(cg_rtol), cg_atol=float(cg_atol),
-        cg_maxiter=int(cg_maxiter), pc=pc if KinvT is not None else "jacobi",
+        cg_maxiter=int(cg_maxiter),
+        pc=pc if (KinvT is not None or fdm_main is not None) else "jacobi",
         krylov=krylov)
 
 
@@ -332,24 +351,29 @@ def _dot_v(ops: EngineOps):
     return dot
 
 
+def _dss(ops: EngineOps, lay, t):
+    """DSS dispatch: overlapped variant when sharded with overlap_dss."""
+    if ops.axis_name is not None and ops.overlap_dss:
+        return L.dss_overlapped(lay, L.make_plane_layout(lay), t,
+                                ops.axis_name)
+    return L.dss(lay, t, axis_name=ops.axis_name)
+
+
 def apply_K(ops: EngineOps, v):
-    return L.dss(ops.lay_v, L.mm(v, ops.KT), axis_name=ops.axis_name)
+    return _dss(ops, ops.lay_v, L.mm(v, ops.KT))
 
 
 def curl(ops: EngineOps, v):
     """Nodal curl (row-scaled assembled Curl, mat_fs.py:253-267)."""
-    return L.dss(ops.lay_w, L.mm(v, ops.curlT), axis_name=ops.axis_name) \
-        * ops.winv_w
+    return _dss(ops, ops.lay_w, L.mm(v, ops.curlT)) * ops.winv_w
 
 
 def srt(ops: EngineOps, v):
-    return L.dss(ops.lay_s, L.mm(v, ops.srtT), axis_name=ops.axis_name) \
-        * ops.winv_s
+    return _dss(ops, ops.lay_s, L.mm(v, ops.srtT)) * ops.winv_s
 
 
 def div_srt(ops: EngineOps, s):
-    return L.dss(ops.lay_v, L.mm(s, ops.divT), axis_name=ops.axis_name) \
-        * ops.winv_v
+    return _dss(ops, ops.lay_v, L.mm(s, ops.divT)) * ops.winv_v
 
 
 def vtensv(ops: EngineOps, vel):
@@ -366,20 +390,28 @@ def vtensv(ops: EngineOps, vel):
 # solves
 # ---------------------------------------------------------------------------
 
-def _masked_solve(ops: EngineOps, free, vort, vel):
+def _masked_solve(ops: EngineOps, free, vort, vel, fdm=None):
     """Solve the Dirichlet-condensed KLE system on the free subspace
     (reference kle_solver.py:33-41 semantics)."""
     con = 1.0 - free
     vc = con * vel
-    b = free * (L.dss(ops.lay_v, L.mm(vort, ops.RwT),
-                      axis_name=ops.axis_name) - apply_K(ops, vc)) + vc
+    b = free * (_dss(ops, ops.lay_v, L.mm(vort, ops.RwT))
+                - apply_K(ops, vc)) + vc
 
     def A(v):
         return free * apply_K(ops, free * v) + con * v
 
     dmask = free * ops.diag + con
 
-    if ops.pc == "schwarz":
+    if ops.pc == "fdm" and fdm is not None:
+        # penalty-aware: exact inverse of the unpenalized separable
+        # stiffness clusters the spectrum near {1, 1+alpha_w, 1+alpha_d}
+        from pynama_tpu.solver.fdm import fdm_apply
+
+        def M_inv(r):
+            z = fdm_apply(fdm, free * r, nelem=ops.nelem, ngl=ops.ngl)
+            return free * z + con * r
+    elif ops.pc == "schwarz":
         # weighted additive overlapping Schwarz by element
         # (M^-1 = sum_e R^T D K_e^+ D R, SPSD) mixed with Jacobi to cover
         # the element null space; both restricted to the free subspace
@@ -387,8 +419,8 @@ def _masked_solve(ops: EngineOps, free, vort, vel):
 
         def M_inv(r):
             rf = free * r
-            z = L.dss(ops.lay_v, L.mm(rf * inv_mult, ops.KinvT),
-                      axis_name=ops.axis_name) * inv_mult
+            z = _dss(ops, ops.lay_v, L.mm(rf * inv_mult, ops.KinvT)) \
+                * inv_mult
             return free * z + 0.5 * rf / dmask + con * r
     else:
         def M_inv(r):
@@ -412,10 +444,10 @@ def solve_kle_local(ops: EngineOps, vort, vel, time):
     vort = apply_vorticity_bc(ops, vort, time)
     vel = apply_velocity_bc(ops, vel, time)
     if ops.is_ns:
-        vel_fs = _masked_solve(ops, ops.free_fs, vort, vel)
+        vel_fs = _masked_solve(ops, ops.free_fs, vort, vel, fdm=ops.fdm_fs)
         vel_fs = apply_tangential_bc(ops, vel_fs, time)
         vort = curl(ops, vel_fs)
-    vel = _masked_solve(ops, ops.free_main, vort, vel)
+    vel = _masked_solve(ops, ops.free_main, vort, vel, fdm=ops.fdm_main)
     return vort, vel
 
 

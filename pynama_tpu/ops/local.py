@@ -116,21 +116,38 @@ class LocalLayout:
         return (self.nnode_el // self.ngl) * self.ncomp
 
 
+def _make_perms(ngl: int, dim: int, ncomp: int) -> tuple:
+    orders = [_axis_major_order(dim, d) for d in range(dim)]
+    cols = [_local_col_index(ngl, dim, ncomp, o) for o in orders]
+    return tuple(
+        jnp.asarray(_perm_index(cols[d], cols[(d + 1) % dim]))
+        for d in range(dim))
+
+
 def make_local_layout(mesh, ncomp: int, dtype=jnp.float32) -> LocalLayout:
     dim = mesh.dim
     cell_nodes = np.asarray(mesh.cell_nodes)
-    orders = [_axis_major_order(dim, d) for d in range(dim)]
-    cols = [_local_col_index(mesh.ngl, dim, ncomp, o) for o in orders]
     np_dtype = np.dtype(dtype)
-    perms = tuple(
-        jnp.asarray(_perm_index(cols[d], cols[(d + 1) % dim]))
-        for d in range(dim))
+    perms = _make_perms(mesh.ngl, dim, ncomp)
     counts = np.bincount(cell_nodes.ravel(), minlength=mesh.n_nodes)
     mult = counts[cell_nodes]                      # (E, nnode)
     inv = (1.0 / mult).astype(np_dtype)
     inv_mult = jnp.asarray(np.repeat(inv, ncomp, axis=1))
     return LocalLayout(perms=perms, inv_mult=inv_mult, ngl=mesh.ngl,
                        nelem=tuple(mesh.nelem), ncomp=int(ncomp))
+
+
+def make_plane_layout(layout: LocalLayout) -> LocalLayout:
+    """LocalLayout of the (dim-1)-dimensional axis-0 interface-plane
+    sub-mesh (elements (ne1[, ne2]), same ngl/ncomp) — the working set of
+    the overlapped DSS's plane-restricted passes. inv_mult is unused by
+    dss and left as a placeholder."""
+    sub_nelem = tuple(layout.nelem[1:])
+    sub_dim = len(sub_nelem)
+    perms = _make_perms(layout.ngl, sub_dim, layout.ncomp)
+    return LocalLayout(perms=perms, inv_mult=jnp.zeros((1, 1)),
+                       ngl=layout.ngl, nelem=sub_nelem,
+                       ncomp=layout.ncomp)
 
 
 # -------------------------------------------------------- global <-> local
@@ -198,6 +215,55 @@ def dss(layout: LocalLayout, t: jax.Array, axis_name=None) -> jax.Array:
                             axis_name=axis_name)
         t = t[:, layout.perms[d]]      # rotate to next axis-major (gather)
     return t
+
+
+def dss_overlapped(layout: LocalLayout, plane_layout: LocalLayout,
+                   t: jax.Array, axis_name: str) -> jax.Array:
+    """DSS with the cross-shard exchange overlapped against the bulk
+    compute — the ICI analog of PETSc's VecScatter-overlapped MatMult
+    (SURVEY §2.3; the docs/ROADMAP recipe).
+
+    The per-axis DSS passes commute (each is a linear sum over a disjoint
+    index dimension), and the neighbor only needs this shard's boundary
+    plane with the OTHER axes' passes applied. So: process the two small
+    boundary planes through the axes-1..d-1 plane DSS first, issue the
+    `ppermute`, run the full-volume axes-1..d-1 passes and the axis-0
+    internal adds while the transfer flies (XLA's latency-hiding scheduler
+    reorders the independent collective ahead of the bulk compute), and
+    accumulate the received planes at the end. Results match `dss` up to
+    f.p. summation order."""
+    nnc, plane = layout.nnc, layout.plane_cols
+    nelem, dim = layout.nelem, layout.dim
+    ne0 = nelem[0]
+    trail = int(np.prod(nelem[1:]))
+    g = t.reshape(ne0, trail, nnc)
+
+    def plane_dss(p):                    # (trail, plane) sub-mesh DSS
+        sub = plane_layout
+        for d in range(sub.dim):
+            p = _dss_axis_major(p, sub.nelem, d, sub.nnc, sub.plane_cols)
+            p = p[:, sub.perms[d]]
+        return p
+
+    send_l = plane_dss(g[0, :, :plane])          # raw boundary partials:
+    send_r = plane_dss(g[-1, :, nnc - plane:])   # independent of the bulk
+    nd = jax.lax.axis_size(axis_name)
+    fwd = [(i, i + 1) for i in range(nd - 1)]
+    bwd = [(i + 1, i) for i in range(nd - 1)]
+    from_left = jax.lax.ppermute(send_r, axis_name, fwd)
+    from_right = jax.lax.ppermute(send_l, axis_name, bwd)
+
+    # bulk: axes 1..dim-1 over the full volume, then axis-0 internal adds
+    u = t[:, layout.perms[0]]                    # rotate to axis-1-major
+    for d in range(1, dim):
+        u = _dss_axis_major(u, nelem, d, nnc, plane)
+        u = u[:, layout.perms[d]]                # ...back to canonical
+    u = _dss_axis_major(u, nelem, 0, nnc, plane)
+
+    gu = u.reshape(ne0, trail, nnc)
+    gu = gu.at[0, :, :plane].add(from_left)
+    gu = gu.at[-1, :, nnc - plane:].add(from_right)
+    return gu.reshape(-1, nnc)
 
 
 def local_dot(layout: LocalLayout, a: jax.Array, b: jax.Array) -> jax.Array:

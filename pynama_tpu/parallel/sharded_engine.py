@@ -33,7 +33,8 @@ from pynama_tpu.solver.timestep import adaptive_loop, get_tableau, make_step
 AXIS = "dp"
 
 
-def build_sharded_ops(ops: E.EngineOps, ndev: int) -> E.EngineOps:
+def build_sharded_ops(ops: E.EngineOps, ndev: int,
+                      overlap_dss: bool = False) -> E.EngineOps:
     """Stack/split the global EngineOps into the (ndev, ...) sharded form."""
     ne0 = ops.nelem[0]
     if ne0 % ndev != 0:
@@ -87,23 +88,29 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int) -> E.EngineOps:
         const_tang=split(ops.const_tang),
         func_sides=tuple(fs_out),
         KinvT=None if ops.KinvT is None else bcast(ops.KinvT),
+        # the FDM preconditioner couples the whole grid along every axis;
+        # no slab form yet -> sharded solves run Jacobi
+        fdm_main=None, fdm_fs=None,
+        pc="jacobi" if ops.pc == "fdm" else ops.pc,
         P_v2cm=bcast(ops.P_v2cm), P_cm2s=bcast(ops.P_cm2s),
         rho=jnp.broadcast_to(ops.rho, (ndev,)),
         mu=jnp.broadcast_to(ops.mu, (ndev,)),
         nu=jnp.broadcast_to(ops.nu, (ndev,)),
-        nelem=local_nelem, axis_name=AXIS)
+        nelem=local_nelem, axis_name=AXIS, overlap_dss=overlap_dss)
 
 
 class ShardedEngine:
     """shard_map runtime for a Problem's EngineOps over a 1D device mesh."""
 
-    def __init__(self, problem, ndev: int, devices=None):
+    def __init__(self, problem, ndev: int, devices=None,
+                 overlap_dss: bool = False):
         assert problem.engine_ops is not None, "Problem built without engine"
         self.p = problem
         self.ndev = ndev
         devices = devices if devices is not None else jax.devices()[:ndev]
         self.mesh = Mesh(np.array(devices), (AXIS,))
-        self.ops_s = build_sharded_ops(problem.engine_ops, ndev)
+        self.ops_s = build_sharded_ops(problem.engine_ops, ndev,
+                                       overlap_dss=overlap_dss)
         self._spec_ops = jax.tree.map(lambda _: P(AXIS), self.ops_s)
         self._spec_state = P(AXIS)
 

@@ -216,7 +216,7 @@ def main(argv=None):
                     help="KLE Krylov absolute tolerance")
     ap.add_argument("-maxiter", type=int, default=None,
                     help="KLE Krylov max iterations")
-    ap.add_argument("-pc", default=None, choices=["jacobi", "schwarz", "mg"],
+    ap.add_argument("-pc", default=None, choices=["jacobi", "schwarz", "fdm"],
                     help="KLE preconditioner")
     # TS tuning — the reference's -ts_* passthrough analog
     ap.add_argument("-rtol", type=float, default=None,

@@ -1,0 +1,140 @@
+"""Fast-diagonalization preconditioner (solver/fdm.py): SPD/symmetry
+properties, solution equivalence with Jacobi-PCG, and the iteration-count
+win that motivates it (DESIGN.md §4 penalty-aware decomposition)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from pynama_tpu.cases import Problem
+from pynama_tpu.engine import local_engine as E
+from pynama_tpu.ops import local as L
+from pynama_tpu.solver.cg import pcg
+from pynama_tpu.solver.fdm import fdm_apply
+
+
+def cavity(ne, ngl, dim=2):
+    z = [0] * dim
+    lid = [1.0] + [0] * (dim - 1)
+    ns = {"up": lid, "down": z, "left": z, "right": z}
+    if dim == 3:
+        ns["back"] = z
+        ns["front"] = z
+    return {
+        "name": "cav",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {"ngl": ngl, "box-mesh": {
+            "nelem": [ne] * dim, "lower": z, "upper": [1] * dim}},
+        "time-solver": {"start-time": 0, "end-time": 1, "max-steps": 10},
+        "boundary-conditions": {"no-slip": ns},
+        "initial-conditions": {"vorticity": [0] * (1 if dim == 2 else 3)},
+    }
+
+
+def tg(ne, ngl):
+    return {
+        "name": "tg",
+        "material-properties": {"rho": 0.5, "mu": 0.01},
+        "domain": {"ngl": ngl, "box-mesh": {
+            "nelem": [ne, ne], "lower": [0, 0], "upper": [1, 1]}},
+        "time-solver": {"start-time": 0, "end-time": 0.1, "max-steps": 50},
+        "boundary-conditions": {"custom-func": {
+            "name": "taylor_green",
+            "attributes": ["velocity", "vorticity", "alpha"]}},
+        "initial-conditions": {"custom-func": {"name": "taylor_green"}},
+        "tests": {"custom-func": {"name": "taylor_green"}},
+    }
+
+
+def _solve_iters(p, free, fdm):
+    """Cold-start masked CG iterations for one stage."""
+    ops = p.engine_ops
+    rng = np.random.default_rng(0)
+    vort = p.to_local(jnp.asarray(
+        rng.standard_normal((p.mesh.n_nodes, p.dim_w))))
+    vel = p.to_local(p.vel)
+    vort = E.apply_vorticity_bc(ops, vort, 0.0)
+    vel = E.apply_velocity_bc(ops, vel, 0.0)
+    con = 1.0 - free
+    vc = con * vel
+    b = free * (L.dss(ops.lay_v, L.mm(vort, ops.RwT))
+                - E.apply_K(ops, vc)) + vc
+    A = lambda v: free * E.apply_K(ops, free * v) + con * v
+    if ops.pc == "fdm" and fdm is not None:
+        M = lambda r: free * fdm_apply(fdm, free * r) + con * r
+    else:
+        dmask = free * ops.diag + con
+        M = lambda r: r / dmask
+    res = pcg(A, b, free * vel + vc, M_inv=M, rtol=1e-8, maxiter=5000,
+              dot=E._dot_v(ops))
+    rr = b - A(res.x)
+    relres = float(jnp.sqrt(E._dot_v(ops)(rr, rr))
+                   / jnp.sqrt(E._dot_v(ops)(b, b)))
+    return int(res.iters), relres
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_fdm_spd_and_symmetric(dim):
+    p = Problem(cavity(4, 4, dim), solver="cg", pc="fdm")
+    p.setUp()
+    ops = p.engine_ops
+    assert ops.pc == "fdm" and ops.fdm_main is not None
+    rng = np.random.default_rng(1)
+    dot = E._dot_v(ops)
+    for fdm in (ops.fdm_main, ops.fdm_fs):
+        a = p.to_local(rng.standard_normal((p.mesh.n_nodes, dim)))
+        b = p.to_local(rng.standard_normal((p.mesh.n_nodes, dim)))
+        Ma, Mb = fdm_apply(fdm, a), fdm_apply(fdm, b)
+        # symmetric in the global (ownership-weighted) inner product
+        npt.assert_allclose(float(dot(b, Ma)), float(dot(a, Mb)),
+                            rtol=1e-10)
+        assert float(dot(a, Ma)) > 0          # definite
+
+
+def test_fdm_iteration_win():
+    """The motivating measurement (VERDICT r1 #2): FDM cuts cold-start CG
+    iterations on both stages. Jacobi degrades ~1/h while FDM counts are
+    nearly mesh-independent, so the ratio GROWS with size: measured 2.5x/1.45x
+    (main/fs) at this 6^3 test size, 4.7x/2.3x at 12^3, larger at the
+    production 24^3 (the FS-stage FDM count is ~mesh-independent at ~230
+    while Jacobi grows ~1/h)."""
+    iters = {}
+    for pc in ("jacobi", "fdm"):
+        p = Problem(cavity(6, 4, 3), solver="cg", pc=pc)
+        p.setUp()
+        ops = p.engine_ops
+        im, rm = _solve_iters(p, ops.free_main, ops.fdm_main)
+        ifs, rfs = _solve_iters(p, ops.free_fs, ops.fdm_fs)
+        assert rm < 1e-7 and rfs < 1e-7
+        iters[pc] = (im, ifs)
+    jm, jf = iters["jacobi"]
+    fm, ff = iters["fdm"]
+    assert fm * 2.2 <= jm, f"main: fdm {fm} vs jacobi {jm}"
+    assert ff * 1.35 <= jf, f"fs: fdm {ff} vs jacobi {jf}"
+
+
+def test_fdm_solution_matches_jacobi():
+    sols = {}
+    for pc in ("jacobi", "fdm"):
+        p = Problem(cavity(6, 3, 2), solver="cg", cg_rtol=1e-12,
+                    cg_maxiter=4000, pc=pc)
+        p.setUp()
+        vort, vel = p.solve_kle(p.vort, p.vel, 0.0)
+        sols[pc] = (np.asarray(vort), np.asarray(vel))
+    npt.assert_allclose(sols["fdm"][1], sols["jacobi"][1],
+                        rtol=1e-7, atol=1e-9)
+
+
+def test_fdm_taylor_green_transient():
+    """Full adaptive transient under pc=fdm matches the jacobi run."""
+    res = {}
+    for pc in ("jacobi", "fdm"):
+        p = Problem(tg(4, 4), solver="cg", cg_rtol=1e-12, cg_maxiter=4000,
+                    pc=pc)
+        p.setUp()
+        t, steps = p.start_solver(dt0=1e-3, atol=1e-6, rtol=1e-6)
+        res[pc] = (t, steps, np.asarray(p.vort))
+    assert res["fdm"][1] == res["jacobi"][1]
+    npt.assert_allclose(res["fdm"][2], res["jacobi"][2],
+                        rtol=1e-5, atol=1e-8)

@@ -137,3 +137,44 @@ def test_sharded_transient_matches_single_device():
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(p.vel), np.asarray(ref.vel),
                                rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_overlapped_dss_matches(dim):
+    """Comm/compute-overlapped DSS (ops/local.py dss_overlapped, the
+    VecScatter-overlap analog of SURVEY §2.3) equals the plain sharded
+    DSS up to f.p. summation order."""
+    cfg = cavity_config(8, 3, dim)
+    p = Problem(cfg, solver="cg", cg_rtol=1e-12, cg_maxiter=3000)
+    p.setUp()
+    rng = np.random.default_rng(7)
+    vort = rng.standard_normal((p.mesh.n_nodes, p.dim_w))
+    vel = np.zeros((p.mesh.n_nodes, p.dim))
+    outs = {}
+    for ov in (False, True):
+        sk = ShardedEngine(p, 4, overlap_dss=ov)
+        rhs = sk.make_rhs()
+        vort_s, vel_s = sk.shard_state(vort, vel)
+        f_s, v_s = rhs(sk.ops_s, 0.1, vort_s, vel_s)
+        outs[ov] = (sk.gather_state(f_s, p.dim_w),
+                    sk.gather_state(v_s, p.dim))
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_overlapped_dss_transient():
+    """Full -ndev transient with overlap_dss on matches the plain run."""
+    cfg = cavity_config(8, 3, 2)
+    cfg["time-solver"] = {"start-time": 0, "end-time": 0.01, "max-steps": 3}
+    res = {}
+    for ov in (False, True):
+        p = Problem(cfg, solver="cg", cg_rtol=1e-12, cg_maxiter=3000,
+                    ndev=8, overlap_dss=ov)
+        p.setUp()
+        t, steps = p.start_solver(dt0=1e-3, atol=1e-4, rtol=1e-4)
+        res[ov] = (steps, np.asarray(p.vort))
+    assert res[True][0] == res[False][0]
+    np.testing.assert_allclose(res[True][1], res[False][1],
+                               rtol=1e-7, atol=1e-10)
