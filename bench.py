@@ -190,10 +190,47 @@ def main():
         f"-> {gnnz_s:.1f} GNNZ/s effective "
         f"(single-call latency floor {t_call*1e3:.1f} ms)")
 
+    # --- MFU + phase split (matmul vs DSS vs layout rotations)
+    from pynama_tpu.ops import local as L
+    flops = 2.0 * p.mesh.n_cells * (p.mesh.nnode_el * p.dim) ** 2
+    # f32-effective matmul peak: bf16 peak / 3 (Precision.HIGHEST = bf16_3x)
+    bf16_peak_tf = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
+                    "TPU v4": 275.0, "TPU v6 lite": 918.0,
+                    "TPU v6e": 918.0}
+    kind = getattr(dev, "device_kind", "")
+    peak = next((x for k, x in bf16_peak_tf.items() if k in kind),
+                197.0) / 3.0
+    mfu = flops / t_apply / (peak * 1e12)
+
+    def mm_chain(nit):
+        @jax.jit
+        def f(ops_, v):
+            def body(i, x):
+                y = L.mm(x, ops_.KT)
+                return y / (1.0 + jnp.max(jnp.abs(y)))
+            return jax.lax.fori_loop(0, nit, body, v)
+        return f
+
+    def rot_chain(nit):
+        @jax.jit
+        def f(ops_, v):
+            def body(i, x):
+                for d in range(len(ops_.nelem)):
+                    x = x[:, ops_.lay_v.perms[d]]
+                return x / (1.0 + jnp.max(jnp.abs(x)))
+            return jax.lax.fori_loop(0, nit, body, v)
+        return f
+
+    t_mm, _ = timed_slope(mm_chain, ops, v, n1=50, n2=1650, reps=5)
+    t_rot, _ = timed_slope(rot_chain, ops, v, n1=50, n2=1650, reps=5)
+    t_dss = max(t_apply - t_mm, 0.0)
+    log(f"phase split: matmul {t_mm*1e6:.1f} us ({flops/t_mm/1e12:.1f} "
+        f"TFLOP/s, {mfu*100:.1f}% of f32-effective peak), "
+        f"DSS(incl rot) {t_dss*1e6:.1f} us, rotations {t_rot*1e6:.1f} us")
+
     # --- CSR speed-of-light on this chip (f32: 4B value + 4B colidx per nnz)
     hbm_gbps = {"TPU v5 lite": 819.0, "TPU v5e": 819.0,
                 "TPU v4": 1228.0, "TPU v6 lite": 1640.0, "TPU v6e": 1640.0}
-    kind = getattr(dev, "device_kind", "")
     bw = next((v for k, v in hbm_gbps.items() if k in kind), 819.0)
     csr_sol_gnnz = bw / 8.0
     vs = gnnz_s / csr_sol_gnnz
@@ -231,6 +268,40 @@ def main():
     t_rhs, _ = timed_slope(rhs_chain, ops, vort, vel0, n1=2, n2=10, reps=3)
     log(f"full RHS eval: {t_rhs*1e3:.2f} ms")
 
+    # --- KLE solve under the FDM preconditioner (DESIGN.md §4)
+    t_solve_fdm = None
+    if size in ("default", "large"):
+        p2 = Problem(cfg, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
+                     cg_maxiter=1000, pc="fdm")
+        p2.setUp()
+        if p2.engine_ops.pc == "fdm":
+            t_solve_fdm, _ = timed_slope(
+                solve_chain, p2.engine_ops, vort, vel0, n1=2, n2=10, reps=3)
+            log(f"KLE solve (pc=fdm): {t_solve_fdm*1e3:.2f} ms")
+
+    # --- high-order series (BASELINE.md N=6-8 refinement), default run only
+    ho = None
+    if size == "default":
+        cfg_ho = dict(cfg)
+        cfg_ho["domain"] = {"ngl": 7, "box-mesh": {
+            "nelem": [8] * dim, "lower": zero, "upper": [1] * dim}}
+        ph = Problem(cfg_ho, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
+                     cg_maxiter=1000)
+        ph.setUp()
+        vh = jnp.asarray(ph.to_local(rng.standard_normal(
+            (ph.mesh.n_nodes, ph.dim))), dtype=ph.dtype)
+        t_ho, _ = timed_slope(k_chain, ph.engine_ops, vh, n1=20, n2=420,
+                              reps=5)
+        nnz_ho = assembled_nnz(ph.mesh)
+        flops_ho = 2.0 * ph.mesh.n_cells * (ph.mesh.nnode_el * ph.dim) ** 2
+        ho = {"gnnz_per_s": round(nnz_ho / t_ho / 1e9, 1),
+              "mfu": round(flops_ho / t_ho / (peak * 1e12), 4),
+              "k_apply_us": round(t_ho * 1e6, 1),
+              "config": f"{tuple(cfg_ho['domain']['box-mesh']['nelem'])} "
+                        f"ngl=7"}
+        log(f"highorder ngl=7: {ho['gnnz_per_s']} GNNZ/s, "
+            f"mfu {ho['mfu']*100:.1f}%")
+
     print(json.dumps({
         "metric": "spmv_effective_gnnz_per_s",
         "value": round(gnnz_s, 2),
@@ -238,8 +309,15 @@ def main():
         "vs_baseline": round(vs, 3),
         "detail": {
             "kle_solve_ms": round(t_solve * 1e3, 3),
+            "kle_solve_fdm_ms": None if t_solve_fdm is None
+            else round(t_solve_fdm * 1e3, 3),
             "rhs_eval_ms": round(t_rhs * 1e3, 3),
             "k_apply_ms": round(t_apply * 1e3, 4),
+            "mfu": round(mfu, 4),
+            "phase_us": {"matmul": round(t_mm * 1e6, 1),
+                         "dss_incl_rot": round(t_dss * 1e6, 1),
+                         "rotations": round(t_rot * 1e6, 1)},
+            "highorder": ho,
             "nnz": nnz,
             "nodes": p.mesh.n_nodes,
             "csr_speed_of_light_gnnz_per_s": round(csr_sol_gnnz, 1),

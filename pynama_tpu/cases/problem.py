@@ -179,12 +179,13 @@ class Problem:
     def _build_engine(self):
         """Build the element-local execution engine (the TPU hot path).
 
-        Used for every iterative (CG) solve; the dense-direct method keeps
-        the global-layout path (its Cholesky factor lives on the global dof
-        vector). Disable explicitly with engine=False."""
+        Used for every iterative (CG) solve on ANY mesh; box meshes get the
+        plane-exchange DSS, unstructured meshes the fixed-fanin gather DSS
+        with per-element matrices (batched MXU einsum). The dense-direct
+        method keeps the global-layout path (its Cholesky factor lives on
+        the global dof vector). Disable explicitly with engine=False."""
         use = self.opts.get("engine",
-                            self.solver_method in ("cg", "gmres")
-                            and self.mesh.is_box)
+                            self.solver_method in ("cg", "gmres"))
         self.engine_ops = None
         self._jit_solve_local = None
         self._jit_rhs_local = None
@@ -373,15 +374,30 @@ class Problem:
         self.viewer.save_mesh(np.asarray(self.mesh.coords))
 
     def run(self, atol=1e-4, rtol=1e-4, dt0=None, tableau="5bs",
-            log_diagnostics=False):
+            log_diagnostics=False, fast_io=False):
         """Production run: integrate + save fields every save-n-steps
-        (reference convergedStepFunction, base_problem.py:93-103)."""
+        (reference convergedStepFunction, base_problem.py:93-103).
+
+        With fast_io=True the per-step saves go through the native async
+        binary writer (the solve loop never blocks on disk) and the
+        HDF5/XDMF ParaView layout is produced once at the end by
+        converting the binary snapshots."""
         save_every = int(self.config.get("save-n-steps", 1))
+        bin_writer = None
+        if fast_io:
+            from pynama_tpu.io.binary import BinarySnapshotWriter
+            fast_dir = str(self.config.get("save-dir", ".")) + "-fast"
+            bin_writer = BinarySnapshotWriter(fast_dir)
 
         def post(step, t, dt, vort, vel):
-            if self.viewer is not None and step % save_every == 0:
-                self.viewer.save_data(step, t, vorticity=np.asarray(vort),
-                                      velocity=np.asarray(vel))
+            if step % save_every == 0:
+                if bin_writer is not None:
+                    bin_writer.save(step, t, vorticity=np.asarray(vort),
+                                    velocity=np.asarray(vel))
+                elif self.viewer is not None:
+                    self.viewer.save_data(step, t,
+                                          vorticity=np.asarray(vort),
+                                          velocity=np.asarray(vel))
             if log_diagnostics and step % save_every == 0:
                 d = self.diagnostics(vel=np.asarray(vel),
                                      vort=np.asarray(vort))
@@ -391,6 +407,12 @@ class Problem:
 
         t, steps = self.start_solver(post_step=post, atol=atol, rtol=rtol,
                                      dt0=dt0, tableau=tableau)
+        if bin_writer is not None:
+            bin_writer.close()
+            if self.viewer is not None:
+                from pynama_tpu.io.binary import convert_to_paraview
+                n = convert_to_paraview(bin_writer.save_dir, self.viewer)
+                logger.info("fast-io: converted %d snapshots to HDF5", n)
         if self.viewer is not None:
             self.viewer.write_xmf(self.case_name)
         return t, steps

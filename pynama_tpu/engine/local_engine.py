@@ -206,11 +206,12 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                             dtype=npdt)
     free_fs = jnp.asarray(L.to_local(mesh, bc.free_fs.astype(np.float64)),
                           dtype=npdt)
-    KT_np = np.asarray(em_K, dtype=np.float64).T
-    KT = jnp.asarray(KT_np, dtype=npdt)
-    diag = jnp.asarray(
-        L.dss_np(mesh, np.tile(np.diagonal(KT_np)[None, :], (E, 1)), dim),
-        dtype=npdt)
+    K_np = np.asarray(em_K, dtype=np.float64)
+    tr = lambda a: np.swapaxes(np.asarray(a, dtype=np.float64), -1, -2)
+    KT = jnp.asarray(tr(K_np), dtype=npdt)
+    de = np.diagonal(K_np, axis1=-2, axis2=-1) if K_np.ndim == 3 \
+        else np.tile(np.diagonal(K_np)[None, :], (E, 1))
+    diag = jnp.asarray(L.dss_np(mesh, de, dim), dtype=npdt)
 
     fdm_main = fdm_fs = None
     if pc == "fdm":
@@ -223,7 +224,7 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
             pc = "jacobi"   # no tensor structure -> fall back
 
     KinvT = None
-    if pc == "schwarz":
+    if pc == "schwarz" and K_np.ndim == 2:
         # element pseudo-inverse: K_e is symmetric PSD with a small null
         # space (per-component constants survive stiffness + penalties);
         # invert the definite part, drop the null directions (the Jacobi
@@ -274,10 +275,10 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
     zdt = lambda x: jnp.asarray(x, dtype=npdt)
     return EngineOps(
         KT=KT,
-        RwT=jnp.asarray(np.asarray(em_Rw).T, dtype=npdt),
-        curlT=jnp.asarray(np.asarray(op_curl).T, dtype=npdt),
-        srtT=jnp.asarray(np.asarray(op_srt).T, dtype=npdt),
-        divT=jnp.asarray(np.asarray(op_div).T, dtype=npdt),
+        RwT=jnp.asarray(tr(em_Rw), dtype=npdt),
+        curlT=jnp.asarray(tr(op_curl), dtype=npdt),
+        srtT=jnp.asarray(tr(op_srt), dtype=npdt),
+        divT=jnp.asarray(tr(op_div), dtype=npdt),
         lay_v=lay_v, lay_w=lay_w, lay_s=lay_s,
         winv_v=exp(dim), winv_w=exp(dim_w), winv_s=exp(dim_s),
         free_main=free_main, free_fs=free_fs, diag=diag,
@@ -288,7 +289,9 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         P_v2cm=jnp.asarray(_comp_perm_idx(nn, dim)),
         P_cm2s=jnp.asarray(_comp_unperm_idx(nn, dim_s)),
         rho=zdt(rho), mu=zdt(mu), nu=zdt(mu / rho),
-        ngl=mesh.ngl, nelem=tuple(mesh.nelem), dim=dim, dim_w=dim_w,
+        ngl=mesh.ngl,
+        nelem=tuple(getattr(mesh, 'nelem', (mesh.n_cells,))),
+        dim=dim, dim_w=dim_w,
         dim_s=dim_s, is_ns=bc.needs_fs_stage,
         cg_rtol=float(cg_rtol), cg_atol=float(cg_atol),
         cg_maxiter=int(cg_maxiter),
@@ -353,27 +356,28 @@ def _dot_v(ops: EngineOps):
 
 def _dss(ops: EngineOps, lay, t):
     """DSS dispatch: overlapped variant when sharded with overlap_dss."""
-    if ops.axis_name is not None and ops.overlap_dss:
+    if ops.axis_name is not None and ops.overlap_dss \
+            and lay.structured:
         return L.dss_overlapped(lay, L.make_plane_layout(lay), t,
                                 ops.axis_name)
     return L.dss(lay, t, axis_name=ops.axis_name)
 
 
 def apply_K(ops: EngineOps, v):
-    return _dss(ops, ops.lay_v, L.mm(v, ops.KT))
+    return _dss(ops, ops.lay_v, L.emm(v, ops.KT))
 
 
 def curl(ops: EngineOps, v):
     """Nodal curl (row-scaled assembled Curl, mat_fs.py:253-267)."""
-    return _dss(ops, ops.lay_w, L.mm(v, ops.curlT)) * ops.winv_w
+    return _dss(ops, ops.lay_w, L.emm(v, ops.curlT)) * ops.winv_w
 
 
 def srt(ops: EngineOps, v):
-    return _dss(ops, ops.lay_s, L.mm(v, ops.srtT)) * ops.winv_s
+    return _dss(ops, ops.lay_s, L.emm(v, ops.srtT)) * ops.winv_s
 
 
 def div_srt(ops: EngineOps, s):
-    return _dss(ops, ops.lay_v, L.mm(s, ops.divT)) * ops.winv_v
+    return _dss(ops, ops.lay_v, L.emm(s, ops.divT)) * ops.winv_v
 
 
 def vtensv(ops: EngineOps, vel):
@@ -395,7 +399,7 @@ def _masked_solve(ops: EngineOps, free, vort, vel, fdm=None):
     (reference kle_solver.py:33-41 semantics)."""
     con = 1.0 - free
     vc = con * vel
-    b = free * (_dss(ops, ops.lay_v, L.mm(vort, ops.RwT))
+    b = free * (_dss(ops, ops.lay_v, L.emm(vort, ops.RwT))
                 - apply_K(ops, vc)) + vc
 
     def A(v):

@@ -58,6 +58,24 @@ class BinarySnapshotWriter:
         self._w.close()
 
 
+def convert_to_paraview(save_dir: str, viewer) -> int:
+    """Convert every binary snapshot in `save_dir` to the Paraviewer
+    HDF5/XDMF layout (post-hoc: the solve loop paid only the async binary
+    writes). Returns the number of converted snapshots."""
+    with open(os.path.join(save_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    n = 0
+    for rec in manifest["snapshots"]:
+        fields = {}
+        for name, meta in rec["fields"].items():
+            data = np.fromfile(os.path.join(save_dir, meta["file"]),
+                               dtype=np.dtype(meta["dtype"]))
+            fields[name] = data.reshape(meta["shape"])
+        viewer.save_data(rec["step"], rec["t"], **fields)
+        n += 1
+    return n
+
+
 def load_snapshot(save_dir: str, step: int, name: str) -> np.ndarray:
     with open(os.path.join(save_dir, "manifest.json")) as f:
         manifest = json.load(f)

@@ -42,6 +42,16 @@ import numpy as np
 mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
+def emm(t: jax.Array, matT: jax.Array) -> jax.Array:
+    """t @ matT with a shared (nnc_in, nnc_out) element matrix, or the
+    batched per-element form when matT is (E, nnc_in, nnc_out)
+    (unstructured meshes: every element has its own geometry)."""
+    if matT.ndim == 2:
+        return mm(t, matT)
+    return jnp.einsum("ei,eio->eo", t, matT,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 # --------------------------------------------------------------- orderings
 def _axis_major_order(dim: int, axis: int) -> tuple:
     """Local-axis permutation putting `axis` slowest (most significant)."""
@@ -93,10 +103,20 @@ class LocalLayout:
     ngl: int = dataclasses.field(metadata=dict(static=True))
     nelem: tuple = dataclasses.field(metadata=dict(static=True))
     ncomp: int = dataclasses.field(metadata=dict(static=True))
+    #: unstructured meshes: fan-in table (n_nodes, kmax) into E*nn (pad =
+    #: E*nn) and (E, nn) node ids — the DSS becomes segment-sum + gather
+    #: (PETSc's dynamic scatter-add as a static fixed-fanin reduction)
+    incidence: object = None
+    cell_nodes: object = None
+    structured: bool = dataclasses.field(default=True,
+                                         metadata=dict(static=True))
+    #: spatial dim when nelem is just (n_cells,) (unstructured)
+    mesh_dim: int = dataclasses.field(default=0,
+                                      metadata=dict(static=True))
 
     @property
     def dim(self):
-        return len(self.nelem)
+        return self.mesh_dim or len(self.nelem)
 
     @property
     def n_cells(self):
@@ -128,13 +148,20 @@ def make_local_layout(mesh, ncomp: int, dtype=jnp.float32) -> LocalLayout:
     dim = mesh.dim
     cell_nodes = np.asarray(mesh.cell_nodes)
     np_dtype = np.dtype(dtype)
-    perms = _make_perms(mesh.ngl, dim, ncomp)
     counts = np.bincount(cell_nodes.ravel(), minlength=mesh.n_nodes)
     mult = counts[cell_nodes]                      # (E, nnode)
     inv = (1.0 / mult).astype(np_dtype)
     inv_mult = jnp.asarray(np.repeat(inv, ncomp, axis=1))
-    return LocalLayout(perms=perms, inv_mult=inv_mult, ngl=mesh.ngl,
-                       nelem=tuple(mesh.nelem), ncomp=int(ncomp))
+    if getattr(mesh, "is_box", False):
+        return LocalLayout(perms=_make_perms(mesh.ngl, dim, ncomp),
+                           inv_mult=inv_mult, ngl=mesh.ngl,
+                           nelem=tuple(mesh.nelem), ncomp=int(ncomp))
+    return LocalLayout(
+        perms=(), inv_mult=inv_mult, ngl=mesh.ngl,
+        nelem=(int(mesh.n_cells),), ncomp=int(ncomp),
+        incidence=jnp.asarray(np.asarray(mesh.incidence), dtype=jnp.int32),
+        cell_nodes=jnp.asarray(cell_nodes, dtype=jnp.int32),
+        structured=False, mesh_dim=dim)
 
 
 def make_plane_layout(layout: LocalLayout) -> LocalLayout:
@@ -205,10 +232,26 @@ def _dss_axis_major(t: jax.Array, nelem: tuple, axis: int, nnc: int,
     return g.reshape(-1, nnc)
 
 
+def _dss_gather(layout: LocalLayout, t: jax.Array, axis_name=None
+                ) -> jax.Array:
+    """General-mesh DSS: fixed-fanin segment sum into global node values,
+    duplicated back into every slot. Sharded (element-split) meshes psum
+    the per-shard partial node sums — one collective per application."""
+    E, nn, c = layout.n_cells, layout.nnode_el, layout.ncomp
+    zf = t.reshape(E * nn, c)
+    zf = jnp.concatenate([zf, jnp.zeros((1, c), dtype=zf.dtype)])
+    g = zf[layout.incidence].sum(axis=1)              # (n_nodes, c)
+    if axis_name is not None:
+        g = jax.lax.psum(g, axis_name)
+    return g[layout.cell_nodes].reshape(E, nn * c)
+
+
 def dss(layout: LocalLayout, t: jax.Array, axis_name=None) -> jax.Array:
     """Full direct-stiffness summation: canonical-order in/out, every
     duplicated slot assembled (globally, when `axis_name` names a shard_map
     mesh axis for the slab decomposition)."""
+    if not layout.structured:
+        return _dss_gather(layout, t, axis_name=axis_name)
     nnc, plane = layout.nnc, layout.plane_cols
     for d in range(layout.dim):
         t = _dss_axis_major(t, layout.nelem, d, nnc, plane,

@@ -35,11 +35,20 @@ AXIS = "dp"
 
 def build_sharded_ops(ops: E.EngineOps, ndev: int,
                       overlap_dss: bool = False) -> E.EngineOps:
-    """Stack/split the global EngineOps into the (ndev, ...) sharded form."""
+    """Stack/split the global EngineOps into the (ndev, ...) sharded form.
+
+    Box meshes split into contiguous axis-0 slabs (DSS = ppermute plane
+    exchange); unstructured meshes split into contiguous element ranges —
+    each shard keeps a full-length node axis and the gather-DSS becomes
+    partial fan-in + one `psum` (parallel/unstructured_sharded.py's scheme,
+    now inside the one production engine)."""
+    structured = ops.lay_v.structured
     ne0 = ops.nelem[0]
     if ne0 % ndev != 0:
-        raise ValueError(f"nelem[0]={ne0} not divisible by {ndev} devices")
+        what = "nelem[0]" if structured else "n_cells"
+        raise ValueError(f"{what}={ne0} not divisible by {ndev} devices")
     local_nelem = (ne0 // ndev,) + tuple(ops.nelem[1:])
+    E_loc = int(np.prod(local_nelem))
 
     def split(x):          # per-element data: (E, ...) -> (ndev, E_loc, ...)
         return x.reshape((ndev, -1) + x.shape[1:])
@@ -48,12 +57,28 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
         return jnp.broadcast_to(x[None], (ndev,) + x.shape)
 
     def relay(lay):
+        if lay.structured:
+            return dataclasses.replace(
+                lay, inv_mult=split(lay.inv_mult),
+                perms=tuple(bcast(p) for p in lay.perms),
+                nelem=tuple(local_nelem))
+        # unstructured: per-shard incidence in LOCAL slot ids (pad E_loc*nn)
+        nn = lay.nnode_el
+        inc = np.asarray(lay.incidence)
+        incs = np.full((ndev,) + inc.shape, E_loc * nn, dtype=np.int32)
+        for d in range(ndev):
+            lo, hi = d * E_loc * nn, (d + 1) * E_loc * nn
+            m = (inc >= lo) & (inc < hi)
+            incs[d][m] = (inc[m] - lo).astype(np.int32)
         return dataclasses.replace(
             lay, inv_mult=split(lay.inv_mult),
-            perms=tuple(bcast(p) for p in lay.perms),
-            nelem=tuple(local_nelem))
+            incidence=jnp.asarray(incs),
+            cell_nodes=split(lay.cell_nodes),
+            nelem=(E_loc,))
 
-    E_loc = int(np.prod(local_nelem))
+    def mat(x):            # element matrices: shared (2D) or batched (3D)
+        return split(x) if x.ndim == 3 else bcast(x)
+
     nn = ops.nn
     fs_out = []
     for fs in ops.func_sides:
@@ -74,8 +99,8 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
 
     return dataclasses.replace(
         ops,
-        KT=bcast(ops.KT), RwT=bcast(ops.RwT), curlT=bcast(ops.curlT),
-        srtT=bcast(ops.srtT), divT=bcast(ops.divT),
+        KT=mat(ops.KT), RwT=mat(ops.RwT), curlT=mat(ops.curlT),
+        srtT=mat(ops.srtT), divT=mat(ops.divT),
         lay_v=relay(ops.lay_v), lay_w=relay(ops.lay_w),
         lay_s=relay(ops.lay_s),
         winv_v=split(ops.winv_v), winv_w=split(ops.winv_w),

@@ -77,7 +77,8 @@ def time_solving(cfg: dict, args):
         ts_kw["dt0"] = args.dt0
     if args.tableau is not None:
         ts_kw["tableau"] = args.tableau
-    t, steps = p.run(log_diagnostics=args.diag, **ts_kw)
+    t, steps = p.run(log_diagnostics=args.diag, fast_io=args.fast_io,
+                     **ts_kw)
     logger.info("Total time: %.3fs (%d steps to t=%g)", timer.toc(), steps, t)
     if args.checkpoint:
         from pynama_tpu.io import save_checkpoint
@@ -171,24 +172,27 @@ def _dump_yaml(path, data):
 
 
 def _overrides(args, skip_ngl=False):
+    """Problem kwargs from CLI args; robust to partially-populated
+    Namespace objects (programmatic callers)."""
+    get = lambda name: getattr(args, name, None)
     kw = {}
-    if args.ngl and not skip_ngl:
+    if get("ngl") and not skip_ngl:
         kw["ngl"] = args.ngl
-    if args.nelem:
+    if get("nelem"):
         kw["nelem"] = args.nelem
-    if args.solver:
+    if get("solver"):
         kw["solver"] = args.solver
     # solver tuning (the reference forwards any -ksp_* flag into
     # KSP.setFromOptions, kle_solver.py:62; these are the TPU analogs)
-    if args.cg_rtol is not None:
+    if get("cg_rtol") is not None:
         kw["cg_rtol"] = args.cg_rtol
-    if args.cg_atol is not None:
+    if get("cg_atol") is not None:
         kw["cg_atol"] = args.cg_atol
-    if args.maxiter is not None:
+    if get("maxiter") is not None:
         kw["cg_maxiter"] = args.maxiter
-    if args.pc is not None:
+    if get("pc") is not None:
         kw["pc"] = args.pc
-    if getattr(args, "ndev", None):
+    if get("ndev"):
         kw["ndev"] = args.ndev
     return kw
 
@@ -231,6 +235,9 @@ def main(argv=None):
                     help="capture a jax device trace into DIR")
     ap.add_argument("-diag", action="store_true",
                     help="log KE/enstrophy/divergence each saved step")
+    ap.add_argument("-fast-io", dest="fast_io", action="store_true",
+                    help="save steps via the async binary writer; convert "
+                         "to HDF5/XDMF after the run")
     ap.add_argument("-max-ngl", dest="max_ngl", type=int, default=10)
     ap.add_argument("-checkpoint", default=None,
                     help="write final state to this HDF5 file")

@@ -75,3 +75,29 @@ def test_solver_tuning_flags(tmp_path):
             run_case.main(["-case", "taylor-green", "-tableau", "bogus"])
     finally:
         os.chdir(cwd)
+
+
+def test_fast_io_production_run(tmp_path):
+    """-fast-io: per-step saves go through the native async binary writer
+    and ParaView HDF5/XDMF output is produced by post-hoc conversion."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run_case.main(["-case", "taylor-green", "-log", "WARNING",
+                       "-nelem", "3", "3", "-ngl", "3",
+                       "-solver", "cg", "-fast-io"])
+        # binary snapshots + manifest
+        fast = next(tmp_path.glob("*-fast"))
+        assert (fast / "manifest.json").exists()
+        assert any(f.suffix == ".bin" for f in fast.iterdir())
+        # converted ParaView layout still opens
+        import h5py
+        out = next(d for d in tmp_path.iterdir()
+                   if d.is_dir() and not d.name.endswith("-fast"))
+        snaps = sorted(out.glob("vec-data-*.h5"))
+        assert snaps
+        with h5py.File(snaps[0]) as f:
+            assert "fields" in f
+        assert any(f.suffix == ".xmf" for f in out.iterdir())
+    finally:
+        os.chdir(cwd)
