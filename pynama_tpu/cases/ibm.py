@@ -37,15 +37,16 @@ logger = logging.getLogger("pynama_tpu.ibm")
 class ImmersedBoundaryStatic(Problem):
     def setUp(self):
         super().setUp()
-        assert self.dim == 2, "IBM implemented for 2D (as the reference)"
-        assert self.ngl < 4, "IBM Only implemented for NGL lower than 4"
+        # the reference restricts IBM to 2D and ngl<4
+        # (immersed_boundary.py:36); the quadrature-weighted interpolation
+        # (ibm/interpolation.py) lifts both: any ngl, 2D and 3D.
         # gmsh meshes may declare h-min explicitly (reference
         # immersed_boundary.py:40: nodeSeparation = h-min / (ngl-1))
         hmin = self.config.get("domain", {}).get("h-min")
         self.h = (float(hmin) / (self.ngl - 1) if hmin is not None
                   else self.mesh.node_separation())
         self.U_ref = self._free_stream_velocity()
-        self.body = BodiesContainer(self.config["bodies"])
+        self.body = BodiesContainer(self.config["bodies"], dim=self.dim)
         self.body.create_bodies(self.h)
         self.body.set_vel_ref(self.U_ref)
         logger.info("Node separation: %g, body nodes: %d", self.h,
@@ -67,7 +68,16 @@ class ImmersedBoundaryStatic(Problem):
     def _build_interpolation(self):
         xy = jnp.asarray(self.body.coordinates(), dtype=self.dtype)
         self.nodes_tab, self.w_tab = self._jit_tables(self.ibm_ops, xy)
-        C = I.normal_core(self.ibm_ops, self.nodes_tab, self.w_tab)
+        # the jittable eq-tensor core is O(L^2 K^{2 dim}) memory — fine in
+        # 2D, prohibitive for large 3D K^3 supports; the host path
+        # accumulates per shared Euler node instead
+        L, K = self.nodes_tab.shape
+        if L * L * K * K <= 2 ** 27:
+            C = I.normal_core(self.ibm_ops, self.nodes_tab, self.w_tab)
+        else:
+            C = jnp.asarray(I.normal_core_np(
+                self.ibm_ops, self.nodes_tab, self.w_tab),
+                dtype=self.dtype)
         self.chol = jnp.linalg.cholesky(C)
 
     # ----------------------------------------------------------- correction
@@ -80,13 +90,15 @@ class ImmersedBoundaryStatic(Problem):
         return jnp.asarray(vel) + corr, flux
 
     # -------------------------------------------------------------- running
-    def start_solver(self, post_step=None, dt0=None, atol=1e-4, rtol=1e-4):
+    def start_solver(self, post_step=None, dt0=None, atol=1e-4, rtol=1e-4,
+                     tableau="5bs"):
         if dt0 is None:
             dt0 = (self.end_time - self.start_time) / (10 * self.max_steps)
         save_every = int(self.config.get("save-n-steps", 10))
         force_every = max(1, save_every // 10)
 
-        stepper = AdaptiveStepper(self.rhs, atol=atol, rtol=rtol)
+        stepper = AdaptiveStepper(self.rhs, atol=atol, rtol=rtol,
+                                  tableau=tableau)
         stepper.dt = float(dt0)
 
         # initial condition (computeInitialCondition,
@@ -149,8 +161,10 @@ class ImmersedBoundaryStatic(Problem):
                               affected_nodes=aff.ravel())
         self.viewer.write_xmf(self.case_name)
 
-    def run(self, atol=1e-4, rtol=1e-4, dt0=None, log_diagnostics=False):
-        return self.start_solver(atol=atol, rtol=rtol, dt0=dt0)
+    def run(self, atol=1e-4, rtol=1e-4, dt0=None, tableau="5bs",
+            log_diagnostics=False, fast_io=False):
+        return self.start_solver(atol=atol, rtol=rtol, dt0=dt0,
+                                 tableau=tableau)
 
 
 class ImmersedBoundaryDynamic(ImmersedBoundaryStatic):

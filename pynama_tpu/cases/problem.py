@@ -207,12 +207,31 @@ class Problem:
     # ------------------------------------------------- local layout shuttles
     def to_local(self, x):
         from pynama_tpu.ops import local as L
+        if isinstance(x, jax.core.Tracer):      # inside jit: pure gather
+            cn = self._jnp_cell_nodes()
+            E, nn = cn.shape
+            return x[cn].reshape(E, nn * x.shape[-1]).astype(self.dtype)
         return jnp.asarray(L.to_local(self.mesh, np.asarray(x)),
                            dtype=self.dtype)
 
     def to_global(self, t, ncomp):
         from pynama_tpu.ops import local as L
+        if isinstance(t, jax.core.Tracer):      # inside jit: rep-slot gather
+            rep = self._jnp_rep_rows()
+            return t.reshape(-1, ncomp)[rep]
         return L.to_global(self.mesh, np.asarray(t), ncomp)
+
+    def _jnp_cell_nodes(self):
+        if not hasattr(self, "_cn_jnp"):
+            self._cn_jnp = jnp.asarray(np.asarray(self.mesh.cell_nodes),
+                                       dtype=jnp.int32)
+        return self._cn_jnp
+
+    def _jnp_rep_rows(self):
+        if not hasattr(self, "_rep_jnp"):
+            self._rep_jnp = jnp.asarray(
+                np.asarray(self.mesh.incidence)[:, 0], dtype=jnp.int32)
+        return self._rep_jnp
 
     def _initial_conditions(self):
         """reference setUpInitialConditions (base_problem.py:181-226)."""

@@ -55,6 +55,7 @@ class ImmersedBody:
     """One rigid body: local point cloud + rigid-motion state."""
 
     kernel = "fourGrid"
+    dim = 2
 
     def __init__(self, vel=(0.0, 0.0), center=(0.0, 0.0)):
         self.start_center = np.asarray(center, dtype=np.float64)
@@ -103,8 +104,8 @@ class ImmersedBody:
     def compute_force(self, flux: np.ndarray):
         """Sum of virtual-flux components (reference computeForce via
         `immersed_body.py:117-130`)."""
-        flux = np.asarray(flux).reshape(-1, 2)
-        return float(flux[:, 0].sum()), float(flux[:, 1].sum())
+        flux = np.asarray(flux).reshape(-1, self.dim)
+        return tuple(float(flux[:, d].sum()) for d in range(self.dim))
 
 
 class Circle(ImmersedBody):
@@ -156,22 +157,55 @@ class OpenBox(ImmersedBody):
         return coords, dl
 
 
+class Sphere(ImmersedBody):
+    """3D sphere shell: near-uniform Lagrangian points via a Fibonacci
+    lattice; dl is the area per point (the 3D analog of the arclength
+    spacing the 2D shapes carry)."""
+
+    dim = 3
+
+    def __init__(self, vel=(0, 0, 0), center=(0, 0, 0), radius=0.5):
+        super().__init__(vel, center)
+        self.radius = float(radius)
+
+    def generate(self, dh):
+        r = self.radius
+        area = 4.0 * pi * r * r
+        points = max(int(ceil(area / (dh * dh))), 12)
+        i = np.arange(points)
+        golden = pi * (3.0 - sqrt(5.0))
+        z = 1.0 - 2.0 * (i + 0.5) / points
+        rho = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+        theta = golden * i
+        coords = r * np.stack([rho * np.cos(theta), rho * np.sin(theta), z],
+                              axis=1)
+        dl = area / points        # area measure per Lagrangian point
+        return coords, dl
+
+
 class BodiesContainer:
     """All bodies of a case (reference BodiesContainer,
     `immersed_body.py:8-130`)."""
 
-    TYPES = {"circle": Circle, "line": Line, "box": OpenBox}
+    TYPES = {"circle": Circle, "line": Line, "box": OpenBox,
+             "sphere": Sphere}
 
-    def __init__(self, bodies_cfg: list):
+    def __init__(self, bodies_cfg: list, dim: int = 2):
+        self.dim = dim
         self.bodies: list[ImmersedBody] = []
         for cfg in bodies_cfg:
             kind = cfg["type"]
             if kind not in self.TYPES:
                 raise ValueError(f"body type '{kind}' not defined")
-            kw = dict(center=cfg.get("center", (0, 0)))
-            if kind == "circle":
+            kw = dict(center=cfg.get("center", (0,) * dim))
+            if kind in ("circle", "sphere"):
                 kw["radius"] = cfg.get("radius", 0.5)
+                if dim == 3 and kind == "circle":
+                    raise ValueError("use body type 'sphere' in 3D")
+            if kind == "sphere":
+                kw.setdefault("vel", (0, 0, 0))
             body = self.TYPES[kind](**kw)
+            body.dim = dim
             if cfg.get("vel") == "dynamic":
                 body.is_moving = True
             self.bodies.append(body)
@@ -211,7 +245,7 @@ class BodiesContainer:
         BodiesContainer.computeForce, `immersed_body.py:93-104`)."""
         fx, fy = [], []
         off = 0
-        flux = np.asarray(flux).reshape(-1, 2)
+        flux = np.asarray(flux).reshape(-1, self.dim)
         for b in self.bodies:
             f = flux[off:off + b.n_nodes]
             fx.append(float(f[:, 0].sum() / scale))

@@ -2,8 +2,8 @@
 
 TPU-native redesign of the reference's PETSc AIJ machinery
 (`src/cases/immersed_boundary.py:170-246`): on the structured GLL grid, each
-Lagrangian node's Eulerian support is a FIXED (K x K) window of grid nodes
-found by per-axis binary search, so H is a static-shape (L, K^2) index +
+Lagrangian node's Eulerian support is a FIXED (K^dim) window of grid nodes
+found by per-axis binary search, so H is a static-shape (L, K^dim) index +
 weight table instead of a dynamically preallocated sparse matrix. Because H
 acts identically on each velocity component, the normal matrix A = H S is
 kron(C, I_dim) with a tiny dense (L, L) core C — assembled and
@@ -11,13 +11,27 @@ Cholesky-factored on device, so the dynamic case's rebuild-per-step
 (`immersed_boundary.py:366-385`) is a fixed-shape jittable recompute, not a
 matrix-structure change.
 
-Scalings mirror the reference exactly (`immersed_boundary.py:199-205`):
-    H *= h^2,  S = H^T * (dl*h)  =>  C = h^3 * dl * (W W^T overlap sums).
+Beyond the reference (which restricts IBM to ngl<4 and 2D,
+`immersed_boundary.py:36`): the regularized deltas are evaluated in INDEX
+space — per axis, a Lagrangian point maps to its fractional node index
+eta(X) (piecewise-linear inverse of the axis coordinates) and the kernel
+argument is |i - eta|. The node-index grid is uniform BY CONSTRUCTION for
+any node spacing, so the kernels' discrete identities (zeroth moment
+exactly 1 — what makes the correction enforce rigid-body velocity exactly)
+hold on clustered GLL spacings just as on the reference's uniform ngl<=3
+grids, where the two formulations coincide node-for-node. The same tables
+work unchanged in 3D (K^3 windows).
+
+Scalings: H rows are dimensionless kernel products (row sum 1); the spread
+carries the reference's dl*h column scale and C = H S = (W Wᵀ)·dl·h
+(`immersed_boundary.py:199-205`), keeping virtual fluxes (hence cd/cl
+histories) on the reference's scale. The velocity correction itself is
+invariant to the spread scaling (v += S (H S)^-1 r is unchanged under
+S -> alpha S).
 """
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,85 +39,126 @@ import numpy as np
 
 from pynama_tpu.ibm.bodies import KERNELS, KERNEL_SUPPORT
 
-#: per-axis window width (covers the 4-cell kernel's [-2h, 2h] support on
-#: the uniform ngl<=3 spacing the reference restricts IBM to)
-KSIDE = 5
-
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class IBMOps:
     """Static grid-side tables for the interpolation."""
-    axis_x: jax.Array        # (npx,) grid coordinates, axis 0
-    axis_y: jax.Array        # (npy,)
-    h: jax.Array             # node separation (0-d)
-    dl: jax.Array            # body arclength spacing (0-d)
+    axes: tuple              # dim (np_d,) per-axis grid coordinates
+    h: jax.Array             # node separation (flux/force scale, 0-d)
+    dl: jax.Array            # body measure per Lagrangian point (0-d)
     kernel: str = dataclasses.field(metadata=dict(static=True))
+    #: per-axis window width: the kernel support in INDEX units is fixed
+    #: (2*ceil(support)+1 nodes) regardless of physical spacing
+    kside: int = dataclasses.field(default=5, metadata=dict(static=True))
+
+    @property
+    def dim(self):
+        return len(self.axes)
 
     @property
     def n_nodes(self):
-        return self.axis_x.shape[0] * self.axis_y.shape[0]
+        return int(np.prod([a.shape[0] for a in self.axes]))
 
 
 def make_ibm_ops(mesh, dl, kernel="fourGrid", dtype=jnp.float32) -> IBMOps:
-    assert mesh.dim == 2, "IBM implemented for 2D (as the reference)"
-    ax = [jnp.asarray(a, dtype=dtype) for a in mesh.axis_coords]
-    return IBMOps(axis_x=ax[0], axis_y=ax[1],
+    assert getattr(mesh, "is_box", False), \
+        "IBM requires a structured box mesh (as the reference)"
+    axes_np = [np.asarray(a) for a in mesh.axis_coords]
+    kside = 2 * int(np.ceil(KERNEL_SUPPORT[kernel])) + 1
+    kside = min(kside, min(a.shape[0] for a in axes_np))
+    return IBMOps(axes=tuple(jnp.asarray(a, dtype=dtype) for a in axes_np),
                   h=jnp.asarray(mesh.node_separation(), dtype=dtype),
-                  dl=jnp.asarray(dl, dtype=dtype), kernel=kernel)
+                  dl=jnp.asarray(dl, dtype=dtype), kernel=kernel,
+                  kside=kside)
 
 
 def support_tables(ops: IBMOps, body_xy: jax.Array):
-    """(L, K^2) Euler node ids + dirac weights for Lagrangian points.
+    """(L, K^dim) Euler node ids and index-space dirac weights for the
+    Lagrangian points (each row sums to 1 exactly).
 
     Pure jnp (jittable) — the dynamic case recomputes this every step with
     the same shapes (reference rebuildMatrix, immersed_boundary.py:379-385).
     """
     phi = KERNELS[ops.kernel]
-    half = KSIDE // 2
+    K = ops.kside
+    half = K // 2
 
     def axis_window(axis_coords, x):
         n = axis_coords.shape[0]
-        i = jnp.searchsorted(axis_coords, x)
-        i0 = jnp.clip(i - half - 1, 0, n - KSIDE)
-        idx = i0[:, None] + jnp.arange(KSIDE)[None, :]      # (L, K)
-        d = jnp.abs(axis_coords[idx] - x[:, None]) / ops.h
-        w = phi(d) / ops.h
+        j = jnp.clip(jnp.searchsorted(axis_coords, x) - 1, 0, n - 2)
+        frac = (x - axis_coords[j]) / (axis_coords[j + 1] - axis_coords[j])
+        eta = j.astype(x.dtype) + frac              # fractional node index
+        i0 = jnp.clip(j - half, 0, n - K)
+        idx = i0[:, None] + jnp.arange(K)[None, :]  # (L, K)
+        w = phi(jnp.abs(idx.astype(x.dtype) - eta[:, None]))
         return idx, w
 
-    ix, wx = axis_window(ops.axis_x, body_xy[:, 0])
-    iy, wy = axis_window(ops.axis_y, body_xy[:, 1])
-    npy = ops.axis_y.shape[0]
-    nodes = ix[:, :, None] * npy + iy[:, None, :]           # (L, K, K)
-    w = wx[:, :, None] * wy[:, None, :]
+    wins = [axis_window(a, body_xy[:, d]) for d, a in enumerate(ops.axes)]
     L = body_xy.shape[0]
-    return nodes.reshape(L, KSIDE * KSIDE), w.reshape(L, KSIDE * KSIDE)
+    dim = ops.dim
+    if dim == 2:
+        (ix, wx), (iy, wy) = wins
+        npy = ops.axes[1].shape[0]
+        nodes = ix[:, :, None] * npy + iy[:, None, :]
+        w = wx[:, :, None] * wy[:, None, :]
+    else:
+        (ix, wx), (iy, wy), (iz, wz) = wins
+        npy, npz = ops.axes[1].shape[0], ops.axes[2].shape[0]
+        nodes = (ix[:, :, None, None] * npy
+                 + iy[:, None, :, None]) * npz + iz[:, None, None, :]
+        w = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    return nodes.reshape(L, K**dim), w.reshape(L, K**dim)
 
 
 def interp_H(ops: IBMOps, nodes, w, vel_nodal: jax.Array) -> jax.Array:
-    """H . vel: (n_nodes, 2) -> (L, 2), including the h^2 row scaling."""
-    ve = vel_nodal[nodes]                 # (L, K2, 2)
+    """H . vel: (n_nodes, dim) -> (L, dim); rows sum to 1 exactly, so
+    constant fields (rigid-body velocities) are reproduced exactly."""
+    ve = vel_nodal[nodes]                 # (L, K^dim, dim)
     return jnp.einsum("lk,lkc->lc", w, ve,
-                      precision=jax.lax.Precision.HIGHEST) * ops.h ** 2
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def spread_S(ops: IBMOps, nodes, w, flux: jax.Array,
              n_nodes: int) -> jax.Array:
-    """S . flux: (L, 2) -> (n_nodes, 2), including the dl*h column scaling."""
+    """S . flux: (L, dim) -> (n_nodes, dim), dl*h column scaling
+    (reference immersed_boundary.py:199-205)."""
+    dim = ops.dim
     vals = w[:, :, None] * flux[:, None, :] * (ops.dl * ops.h)
-    out = jnp.zeros((n_nodes, 2), dtype=flux.dtype)
+    out = jnp.zeros((n_nodes, dim), dtype=flux.dtype)
     return out.at[nodes.reshape(-1)].add(
-        vals.reshape(-1, 2), mode="drop")
+        vals.reshape(-1, dim), mode="drop")
 
 
 def normal_core(ops: IBMOps, nodes, w) -> jax.Array:
-    """C (L, L): the per-component core of A = H S = kron(C, I_2).
+    """C (L, L): the per-component core of A = H S = kron(C, I_dim).
 
-    C[l,m] = h^3 dl * sum_{k,k'} w_l[k] w_m[k'] [nodes match]."""
+    C[l,m] = dl*h * sum over shared Euler nodes of w_l w_m."""
     eq = (nodes[:, None, :, None] == nodes[None, :, None, :])
     overlap = jnp.einsum("lk,mj,lmkj->lm", w, w, eq.astype(w.dtype),
                          precision=jax.lax.Precision.HIGHEST)
-    return overlap * ops.h ** 3 * ops.dl
+    return overlap * ops.h * ops.dl
+
+
+def normal_core_np(ops: IBMOps, nodes, w) -> np.ndarray:
+    """Host assembly of C for large supports (3D: the jittable eq-tensor is
+    (L,L,K^3,K^3) — too big). Accumulates per shared Euler node: O(sum over
+    nodes of fanin^2), float64."""
+    nodes = np.asarray(nodes)
+    wv = np.asarray(w, dtype=np.float64)
+    L = nodes.shape[0]
+    order = np.argsort(nodes.ravel(), kind="stable")
+    flat_n = nodes.ravel()[order]
+    flat_l = (np.arange(nodes.size) // nodes.shape[1])[order]
+    flat_w = wv.ravel()[order]
+    C = np.zeros((L, L))
+    starts = np.flatnonzero(np.concatenate(
+        ([True], flat_n[1:] != flat_n[:-1], [True])))
+    for s, e in zip(starts[:-1], starts[1:]):
+        ls = flat_l[s:e]
+        np.add.at(C, (ls[:, None], ls[None, :]),
+                  flat_w[s:e, None] * flat_w[None, s:e])
+    return C * float(ops.h) * float(ops.dl)
 
 
 def correction(ops: IBMOps, nodes, w, chol, vel_nodal, body_vel, n_nodes):

@@ -152,3 +152,18 @@ def test_flat_plate_fsns_runs(tmp_path, monkeypatch):
     t, steps = p.run()
     assert steps >= 3
     assert np.isfinite(np.asarray(p.vort)).all()
+
+
+def test_ibm_sphere_case_runs(tmp_path, monkeypatch):
+    """3D sphere IBM case (beyond the reference's 2D/ngl<4 IBM)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = run_case.load_case("ibm-sphere")
+    cfg["domain"]["box-mesh"]["nelem"] = [8, 6, 6]
+    cfg["time-solver"] = {"start-time": 0, "end-time": 0.002,
+                          "max-steps": 2}
+    cfg["save-dir"] = str(tmp_path / "out")
+    p = run_case.make_problem(cfg)
+    p.setUp()
+    assert p.dim == 3 and p.body.n_nodes > 10
+    p.run(dt0=1e-4)
+    assert np.isfinite(np.asarray(p.vel)).all()

@@ -37,23 +37,29 @@ def test_kernels_partition_of_unity():
             assert abs(s - 1.0) < 1e-12, (phi.__name__, frac, s)
 
 
-def test_h_rows_conserve():
-    """Zeroth moment: each H row sums to 1; first moment vanishes
-    (reference test_ibm.py:77-99)."""
-    mesh = BoxMesh.create(3, (20, 20), [-3, -3], [3, 3])
+@pytest.mark.parametrize("ngl", [3, 5])
+def test_h_rows_conserve(ngl):
+    """Zeroth moment: each H row sums to 1 EXACTLY for any node spacing —
+    the kernels act in index space, uniform by construction (reference
+    test_ibm.py:77-99; this is what lifts the ngl<4 restriction of
+    immersed_boundary.py:36)."""
+    nelem = 20 if ngl == 3 else 10          # matched resolution
+    mesh = BoxMesh.create(ngl, (nelem, nelem), [-3, -3], [3, 3])
     h = mesh.node_separation()
     body = Circle(radius=0.5)
     body.create(h)
     ops = I.make_ibm_ops(mesh, body.dl, dtype=np.float64)
     xy = body.coordinates()
     nodes, w = I.support_tables(ops, xy)
-    rowsum = np.asarray(w).sum(axis=1) * h**2
-    np.testing.assert_allclose(rowsum, 1.0, atol=1e-10)
-    # first moment: sum_k w_k (x_k - x_b) = 0
-    coords = np.asarray(mesh.coords)[np.asarray(nodes)]
-    for d in range(2):
-        m1 = (np.asarray(w) * (coords[:, :, d] - xy[:, d:d + 1])).sum(1)
-        np.testing.assert_allclose(m1 * h**2, 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(w).sum(axis=1), 1.0, atol=1e-12)
+    # first moment vanishes in index space; physically it is O(spacing
+    # variation), zero on the uniform ngl=3 grid
+    if ngl == 3:
+        coords = np.asarray(mesh.coords)[np.asarray(nodes)]
+        for d in range(2):
+            m1 = (np.asarray(w)
+                  * (coords[:, :, d] - xy[:, d:d + 1])).sum(1)
+            np.testing.assert_allclose(m1, 0.0, atol=1e-9)
 
 
 def test_support_counts():
@@ -66,7 +72,7 @@ def test_support_counts():
     nodes, w = I.support_tables(ops, body.coordinates())
     active = (np.asarray(w) > 0).sum(axis=1)
     assert active.min() >= 9          # at least a 3x3 live stencil
-    assert active.max() <= 25
+    assert active.max() <= ops.kside ** 2
 
 
 def test_interp_spread_adjoint():
@@ -82,8 +88,9 @@ def test_interp_spread_adjoint():
     f = rng.standard_normal((body.n_nodes, 2))
     Hv = np.asarray(I.interp_H(ops, nodes, w, v))
     Sf = np.asarray(I.spread_S(ops, nodes, w, f, mesh.n_nodes))
+    # S = H^T * (dl h): <Hv, f> * dl h == <v, Sf>
     lhs = (Hv * f).sum() * float(ops.dl) * float(ops.h)
-    rhs = (v * Sf).sum() * float(ops.h) ** 2
+    rhs = (v * Sf).sum()
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
 
 
@@ -110,3 +117,47 @@ def test_dynamic_cylinder_short_run():
     assert steps == 2
     assert np.isfinite(np.asarray(p.vel)).all()
     assert len(p.history["cd"]) > 0
+
+
+def test_cylinder_drag_ngl_invariance():
+    """VERDICT r1 #6 done-criterion: cylinder drag at ngl=5 within a few
+    percent of the ngl=3 result at matched grid resolution (the reference
+    cannot run ngl>=4 at all, immersed_boundary.py:36)."""
+    cds = {}
+    for ngl, nelem in ((3, 24), (5, 12)):     # both 49x49 grid points
+        cfg = ibm_config(nelem=nelem, max_steps=6, end=0.03)
+        cfg["domain"]["ngl"] = ngl
+        p = ImmersedBoundaryStatic(cfg, solver="direct")
+        p.setUp()
+        # huge tolerances -> every step accepted -> identical dt history,
+        # so the drag normalization (flux / (denom*dt)) is comparable
+        p.start_solver(dt0=5e-3, atol=1e6, rtol=1e6)
+        cds[ngl] = p.history["cd"][-1][0]
+    assert abs(cds[5] - cds[3]) <= 0.05 * abs(cds[3]), cds
+
+
+def test_sphere_3d_short_run():
+    """3D IBM: uniform flow past a sphere runs and enforces the body
+    velocity (a capability the reference lacks outright)."""
+    cfg = {
+        "name": "ibm-sphere",
+        "save-n-steps": 10,
+        "material-properties": {"rho": 0.5, "mu": 0.01},
+        "domain": {"ngl": 3, "box-mesh": {
+            "nelem": [10, 10, 10], "lower": [-3, -3, -3],
+            "upper": [3, 3, 3]}},
+        "time-solver": {"start-time": 0, "end-time": 0.5, "max-steps": 2},
+        "boundary-conditions": {"uniform": {"velocity": [1.0, 0.0, 0.0]}},
+        "initial-conditions": {"vorticity": [0, 0, 0]},
+        "bodies": [{"type": "sphere", "radius": 0.5, "center": [0, 0, 0]}],
+    }
+    p = ImmersedBoundaryStatic(cfg, solver="cg", cg_rtol=1e-8,
+                               cg_maxiter=2000)
+    p.setUp()
+    assert p.body.n_nodes > 20
+    t, steps = p.start_solver(dt0=1e-3)
+    assert steps == 2
+    assert np.isfinite(np.asarray(p.vel)).all()
+    Hv = np.asarray(I.interp_H(p.ibm_ops, p.nodes_tab, p.w_tab,
+                               np.asarray(p.vel)))
+    assert np.abs(Hv).max() < 8e-2, np.abs(Hv).max()
