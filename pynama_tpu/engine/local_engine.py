@@ -410,11 +410,17 @@ def _masked_solve(ops: EngineOps, free, vort, vel, fdm=None):
     if ops.pc == "fdm" and fdm is not None:
         # penalty-aware: exact inverse of the unpenalized separable
         # stiffness clusters the spectrum near {1, 1+alpha_w, 1+alpha_d}
-        from pynama_tpu.solver.fdm import fdm_apply
+        from pynama_tpu.solver.fdm import SlabFDM, fdm_apply, fdm_apply_slab
 
-        def M_inv(r):
-            z = fdm_apply(fdm, free * r, nelem=ops.nelem, ngl=ops.ngl)
-            return free * z + con * r
+        if isinstance(fdm, SlabFDM):
+            def M_inv(r):
+                z = fdm_apply_slab(fdm, free * r, ops.nelem, ops.ngl,
+                                   ops.axis_name)
+                return free * z + con * r
+        else:
+            def M_inv(r):
+                z = fdm_apply(fdm, free * r, nelem=ops.nelem, ngl=ops.ngl)
+                return free * z + con * r
     elif ops.pc == "schwarz":
         # weighted additive overlapping Schwarz by element
         # (M^-1 = sum_e R^T D K_e^+ D R, SPSD) mixed with Jacobi to cover

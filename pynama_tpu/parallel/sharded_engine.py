@@ -79,6 +79,18 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
     def mat(x):            # element matrices: shared (2D) or batched (3D)
         return split(x) if x.ndim == 3 else bcast(x)
 
+    # FDM preconditioner: slab form (solver/fdm.py shard_fdm) — the axis-0
+    # transform becomes ownership-partial projections psum-reduced to the
+    # mode grid, so sharded solves keep the FDM iteration win
+    fdm_main_s = fdm_fs_s = None
+    pc = ops.pc
+    if ops.pc == "fdm" and structured and ops.fdm_main is not None:
+        from pynama_tpu.solver.fdm import shard_fdm
+        fdm_main_s = shard_fdm(ops.fdm_main, ndev)
+        fdm_fs_s = None if ops.fdm_fs is None else shard_fdm(ops.fdm_fs, ndev)
+    elif ops.pc == "fdm":
+        pc = "jacobi"
+
     nn = ops.nn
     fs_out = []
     for fs in ops.func_sides:
@@ -113,10 +125,7 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
         const_tang=split(ops.const_tang),
         func_sides=tuple(fs_out),
         KinvT=None if ops.KinvT is None else bcast(ops.KinvT),
-        # the FDM preconditioner couples the whole grid along every axis;
-        # no slab form yet -> sharded solves run Jacobi
-        fdm_main=None, fdm_fs=None,
-        pc="jacobi" if ops.pc == "fdm" else ops.pc,
+        fdm_main=fdm_main_s, fdm_fs=fdm_fs_s, pc=pc,
         P_v2cm=bcast(ops.P_v2cm), P_cm2s=bcast(ops.P_cm2s),
         rho=jnp.broadcast_to(ops.rho, (ndev,)),
         mu=jnp.broadcast_to(ops.mu, (ndev,)),

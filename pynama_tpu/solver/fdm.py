@@ -230,6 +230,67 @@ def build_fdm(mesh, free_mask_np: np.ndarray, dtype,
         npts=npts, ncomp=dim)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlabFDM:
+    """Slab-sharded FDM data: one shard's axis-0 row blocks plus the shared
+    local-axis transforms, stacked (ndev, ...) for shard_map in_specs.
+
+    The global transform chain factorizes per shard: the local axes (1..d-1)
+    are untouched by the slab split, and the axis-0 analysis becomes an
+    ownership-weighted partial projection `Q0_ownᵀ · z_slab` psum-reduced to
+    the full mode grid, while the axis-0 synthesis needs NO communication
+    (each shard computes its own slab rows `Q0_syn · ẑ` from the replicated
+    mode tensor). One psum of the mode grid per application — the ICI analog
+    of the all-reduce inside a distributed direct solve. (Headroom: a
+    reduce-scatter over the mode axis would cut the replicated-mode memory
+    at very large grids; not needed at current sizes.)"""
+    #: (ndev, c, k+1, n0) ownership rows of Q0 (duplicated interface plane
+    #: zeroed on the non-owning shard)
+    Q0_own: jax.Array
+    #: (ndev, c, k+1, n0) slab rows of Q0 (both interface planes kept)
+    Q0_syn: jax.Array
+    #: local-axis eigenbases, each (ndev, c, n_d, n_d) broadcast-stacked
+    Qs_rest: tuple
+    #: replicated full mode-grid denominators, (ndev, c, n0[, n1, n2])
+    dinv_grid: jax.Array
+    #: slab slice of the Jacobi-leftover coefficients, (ndev, slab_nodes, c)
+    jleft: jax.Array
+    ncomp: int = dataclasses.field(metadata=dict(static=True))
+
+
+def shard_fdm(f: FDMOps, ndev: int) -> SlabFDM:
+    """Split FDMOps into the (ndev, ...)-stacked slab form (axis-0 slabs,
+    matching `parallel/sharded_engine.build_sharded_ops`)."""
+    npts = f.npts
+    c = f.ncomp
+    n0 = npts[0]
+    if (n0 - 1) % ndev != 0:
+        raise ValueError(f"axis-0 planes {n0 - 1} not divisible by {ndev}")
+    k = (n0 - 1) // ndev
+    Q0 = np.asarray(f.Qs[0])                       # (c, n0, n0)
+    own = np.zeros((ndev, c, k + 1, n0))
+    syn = np.zeros((ndev, c, k + 1, n0))
+    jleft = np.asarray(f.jleft).reshape(npts + (c,))
+    jl = np.zeros((ndev, (k + 1) * int(np.prod(npts[1:])), c))
+    for d in range(ndev):
+        rows = slice(d * k, d * k + k + 1)
+        syn[d] = Q0[:, rows, :]
+        own[d] = Q0[:, rows, :]
+        if d != ndev - 1:
+            own[d, :, -1, :] = 0.0                 # upper nbr owns the plane
+        jl[d] = jleft[rows].reshape(-1, c)
+    dt = f.dinv.dtype
+    bcast = lambda x: jnp.broadcast_to(x[None], (ndev,) + x.shape)
+    return SlabFDM(
+        Q0_own=jnp.asarray(own, dtype=dt),
+        Q0_syn=jnp.asarray(syn, dtype=dt),
+        Qs_rest=tuple(bcast(q) for q in f.Qs[1:]),
+        dinv_grid=bcast(jnp.moveaxis(f.dinv, -1, 0).reshape((c,) + npts)),
+        jleft=jnp.asarray(jl, dtype=dt),
+        ncomp=c)
+
+
 # --------------------------------------------------------------------- apply
 _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
@@ -336,3 +397,44 @@ def fdm_apply(f: FDMOps, r_loc: jax.Array, nelem: tuple | None = None,
         return _grid_to_local(z, nelem, ngl, c)
     out = z.reshape(-1, c)[f.cell_nodes]               # (E, nn, c)
     return out.reshape(E, nnc)
+
+
+def _contract_axis(Q: jax.Array, z: jax.Array, pos: int,
+                   transpose_q: bool) -> jax.Array:
+    """Contract z's axis `pos` with Q (c, n, n); z leads with the component
+    axis. Moveaxis keeps a large trailing flat axis for full MXU tiles."""
+    z = jnp.moveaxis(z, pos, 1)
+    Qm = jnp.swapaxes(Q, 1, 2) if transpose_q else Q
+    sh = z.shape
+    z = _mm(Qm, z.reshape(sh[0], sh[1], -1)).reshape(sh)
+    return jnp.moveaxis(z, 1, pos)
+
+
+def fdm_apply_slab(f: SlabFDM, r_loc: jax.Array, nelem: tuple, ngl: int,
+                   axis_name: str) -> jax.Array:
+    """Sharded z = S⁻¹ r on one shard's consistent slab-local vector
+    (E_loc, nn*ncomp); `nelem` is the LOCAL slab nelem. Called inside
+    shard_map; exactly one psum (of the mode grid) per application.
+
+    Cross-shard consistency of the result is bitwise: the duplicated
+    interface plane is computed on both shards as the same `Q0 row · ẑ`
+    contraction of the identical (psum-replicated) mode tensor."""
+    c = f.ncomp
+    z = _local_to_grid(r_loc, nelem, ngl, c)        # (k+1, n1[, n2], c)
+    z = jnp.moveaxis(z, -1, 0)                      # (c, k+1, ...)
+    g0 = z
+    # analysis on the unsharded local axes first (slab-sized work)
+    for i, Q in enumerate(f.Qs_rest):
+        z = _contract_axis(Q, z, i + 2, transpose_q=True)
+    # axis-0 ownership partial projection, reduced to the full mode grid
+    sh = z.shape
+    zh = _mm(jnp.swapaxes(f.Q0_own, 1, 2), z.reshape(c, sh[1], -1))
+    zh = jax.lax.psum(zh, axis_name)                # (c, n0, rest)
+    zh = zh.reshape(f.dinv_grid.shape) * f.dinv_grid
+    # synthesis: slab rows from the replicated modes (no comm), local axes
+    z = _mm(f.Q0_syn, zh.reshape(c, zh.shape[1], -1)).reshape(sh)
+    for i, Q in enumerate(f.Qs_rest):
+        z = _contract_axis(Q, z, i + 2, transpose_q=False)
+    z = z + f.jleft.T.reshape(g0.shape) * g0
+    z = jnp.moveaxis(z, 0, -1)
+    return _grid_to_local(z, nelem, ngl, c)

@@ -178,3 +178,49 @@ def test_overlapped_dss_transient():
     assert res[True][0] == res[False][0]
     np.testing.assert_allclose(res[True][1], res[False][1],
                                rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sharded_fdm_rhs_matches(dim):
+    """Slab-sharded FDM preconditioner (solver/fdm.py shard_fdm): sharded
+    RHS under pc="fdm" equals the single-device FDM run. Exercises the
+    ownership-weighted axis-0 projection + psum, the FS-stage SlabFDM, and
+    the jleft corner-rule slab slices (no-slip cavity has both stages)."""
+    p = Problem(cavity_config(8, 3, dim), solver="cg", pc="fdm",
+                cg_rtol=1e-12, cg_maxiter=3000)
+    p.setUp()
+    assert p.engine_ops.pc == "fdm"
+    rng = np.random.default_rng(11)
+    vort = rng.standard_normal((p.mesh.n_nodes, p.dim_w))
+    vel = np.zeros((p.mesh.n_nodes, p.dim))
+    f_ref, _ = E.rhs_local(p.engine_ops, 0.1, p.to_local(vort),
+                           p.to_local(vel))
+    f_ref = p.to_global(f_ref, p.dim_w)
+    for ndev in (2, 8):
+        sk = ShardedEngine(p, ndev)
+        assert sk.ops_s.pc == "fdm"          # no Jacobi fallback anymore
+        vort_s, vel_s = sk.shard_state(vort, vel)
+        f_s, _ = sk.make_rhs()(sk.ops_s, 0.1, vort_s, vel_s)
+        np.testing.assert_allclose(sk.gather_state(f_s, p.dim_w), f_ref,
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_fdm_transient():
+    """Full -ndev production transient with pc="fdm" matches 1-device."""
+    cfg = cavity_config(8, 3, 2)
+    cfg["time-solver"] = {"start-time": 0, "end-time": 1.0, "max-steps": 4}
+    ref = Problem(cfg, solver="cg", pc="fdm", cg_rtol=1e-13,
+                  cg_maxiter=4000)
+    ref.setUp()
+    t1, s1 = ref.start_solver(dt0=1e-3, atol=1e-6, rtol=1e-6)
+    p = Problem(cfg, solver="cg", pc="fdm", cg_rtol=1e-13, cg_maxiter=4000,
+                ndev=8)
+    p.setUp()
+    t8, s8 = p.start_solver(dt0=1e-3, atol=1e-6, rtol=1e-6)
+    assert s1 == s8 >= 3
+    # the FDM psum reorders mode-grid summation; the dt controller
+    # compounds the ~1e-12 per-step drift into ~1e-6 relative by end-time
+    np.testing.assert_allclose(np.asarray(p.vort), np.asarray(ref.vort),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p.vel), np.asarray(ref.vel),
+                               rtol=1e-5, atol=1e-8)
