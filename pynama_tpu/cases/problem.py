@@ -201,7 +201,11 @@ class Problem:
             cg_rtol=self.opts.get("cg_rtol", cfg.cg_rtol),
             cg_atol=self.opts.get("cg_atol", cfg.cg_atol),
             cg_maxiter=self.opts.get("cg_maxiter", cfg.cg_maxiter),
-            pc=self.opts.get("pc", "jacobi"),
+            # default preconditioner: penalty-aware fast diagonalization
+            # (DESIGN.md §4 — 6.3x fewer cold-start iterations, 1.35x solve
+            # wall-clock on-chip); build_engine falls back to Jacobi
+            # automatically when the mesh has no tensor structure
+            pc=self.opts.get("pc", "fdm"),
             krylov="gmres" if self.solver_method == "gmres" else "cg")
 
     # ------------------------------------------------- local layout shuttles
