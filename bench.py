@@ -104,6 +104,139 @@ def bench_scaling():
         "detail": {str(k): round(v, 2) for k, v in results.items()}}))
 
 
+def bench_hex():
+    """Hex-mesh (unstructured) K apply: sum-factorized vs dense
+    per-element matrices. The dense path streams (nn*dim)^2 floats per
+    element per CG iteration (147 KB at ngl=4 f32); SumFactK streams
+    ~2.6 KB/element — this records the HBM win on real hardware."""
+    import tempfile
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from pynama_tpu.engine import local_engine as E
+    from pynama_tpu.cases import Problem
+
+    nx = ny = nz = 10
+    ngl = 4
+    path = _write_hex_msh(nx, ny, nz, distort=0.12)
+    cfg = {"name": "bench-hex",
+           "material-properties": {"rho": 1.0, "mu": 0.01},
+           "domain": {"ngl": ngl, "gmsh-file": path},
+           "boundary-conditions": {"uniform": {"velocity": [1, 0, 0],
+                                               "vorticity": [0, 0, 0]}},
+           "initial-conditions": {"velocity": [1, 0, 0]}}
+
+    res = {}
+    mesh = None
+    for sf_on in (True, False):
+        q = Problem(cfg, solver="cg", cg_rtol=1e-6, cg_maxiter=500,
+                    engine=True, sumfact=sf_on)
+        q.setUp()
+        mesh = q.mesh
+        ops = q.engine_ops
+        assert (ops.sumfact is not None) == sf_on
+        rngv = np.random.default_rng(1)
+        v = jnp.asarray(q.to_local(rngv.standard_normal(
+            (mesh.n_nodes, 3))), dtype=q.dtype)
+
+        @jax.jit
+        def chain(ops_, v, nit):
+            def body(i, x):
+                y = E.apply_K(ops_, x)
+                return y / (1.0 + jnp.max(jnp.abs(y)))
+            return jax.lax.fori_loop(0, nit, body, v)
+
+        def best(n, reps=5):
+            float(np.asarray(chain(ops, v, n)).ravel()[0])
+            b = np.inf
+            for _ in range(reps):
+                t1 = _t.perf_counter()
+                o = chain(ops, v, n)
+                float(np.asarray(o).ravel()[0])
+                b = min(b, _t.perf_counter() - t1)
+            return b
+        rough = best(100, reps=2) / 100
+        n2 = int(min(max(1.0 / rough, 1000), 100000))
+        per = (best(n2) - best(100)) / (n2 - 100)
+        res["sumfact" if sf_on else "dense"] = per
+        log(f"hex K apply ({'sumfact' if sf_on else 'dense'}): "
+            f"{per*1e6:.1f} us")
+
+    speedup = res["dense"] / res["sumfact"]
+    print(json.dumps({
+        "metric": "hex_sumfact_speedup",
+        "value": round(speedup, 2), "unit": "x",
+        "vs_baseline": round(speedup, 2),
+        "detail": {"k_apply_sumfact_us": round(res["sumfact"] * 1e6, 1),
+                   "k_apply_dense_us": round(res["dense"] * 1e6, 1),
+                   "cells": mesh.n_cells, "ngl": ngl,
+                   "dense_bytes_per_cell": (ngl**3 * 3) ** 2 * 4,
+                   "config": f"distorted hex {nx}x{ny}x{nz} ngl={ngl}"}}))
+
+
+def _write_hex_msh(nx, ny, nz, distort=0.0):
+    """Distorted structured hex grid as a temp MSH 2.2 file (the bench
+    analog of the tests' gmsh fixtures)."""
+    import tempfile
+
+    xs = [np.linspace(0, 1, n + 1) for n in (nx, ny, nz)]
+    X, Y, Z = np.meshgrid(*xs, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1)
+    rng = np.random.default_rng(0)
+    interior = np.all((verts > 1e-12) & (verts < 1 - 1e-12), axis=1)
+    verts[interior] += (rng.uniform(-1, 1, (int(interior.sum()), 3))
+                        * distort / nx)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    hexes = [[vid(i, j, k), vid(i + 1, j, k), vid(i + 1, j + 1, k),
+              vid(i, j + 1, k), vid(i, j, k + 1), vid(i + 1, j, k + 1),
+              vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1)]
+             for i in range(nx) for j in range(ny) for k in range(nz)]
+    names = ["down", "right", "up", "left", "back", "front"]
+    quads = {
+        "down": [[vid(i, 0, k), vid(i + 1, 0, k), vid(i + 1, 0, k + 1),
+                  vid(i, 0, k + 1)] for i in range(nx) for k in range(nz)],
+        "up": [[vid(i, ny, k), vid(i + 1, ny, k), vid(i + 1, ny, k + 1),
+                vid(i, ny, k + 1)] for i in range(nx) for k in range(nz)],
+        "left": [[vid(0, j, k), vid(0, j + 1, k), vid(0, j + 1, k + 1),
+                  vid(0, j, k + 1)] for j in range(ny) for k in range(nz)],
+        "right": [[vid(nx, j, k), vid(nx, j + 1, k), vid(nx, j + 1, k + 1),
+                   vid(nx, j, k + 1)] for j in range(ny) for k in range(nz)],
+        "back": [[vid(i, j, 0), vid(i + 1, j, 0), vid(i + 1, j + 1, 0),
+                  vid(i, j + 1, 0)] for i in range(nx) for j in range(ny)],
+        "front": [[vid(i, j, nz), vid(i + 1, j, nz), vid(i + 1, j + 1, nz),
+                   vid(i, j + 1, nz)] for i in range(nx) for j in range(ny)],
+    }
+    f = tempfile.NamedTemporaryFile("w", suffix=".msh", delete=False)
+    f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n$PhysicalNames\n"
+            f"{len(names) + 1}\n")
+    for t, n in enumerate(names):
+        f.write(f'2 {t + 1} "{n}"\n')
+    f.write(f'3 {len(names) + 1} "volume"\n$EndPhysicalNames\n$Nodes\n'
+            f"{len(verts)}\n")
+    for i, v in enumerate(verts):
+        f.write(f"{i + 1} {v[0]} {v[1]} {v[2]}\n")
+    f.write("$EndNodes\n$Elements\n")
+    n_el = sum(len(v) for v in quads.values()) + len(hexes)
+    f.write(f"{n_el}\n")
+    eid = 1
+    for t, n in enumerate(names):
+        for q in quads[n]:
+            f.write(f"{eid} 3 2 {t + 1} {t + 1} "
+                    + " ".join(str(x + 1) for x in q) + "\n")
+            eid += 1
+    for h in hexes:
+        f.write(f"{eid} 5 2 {len(names) + 1} {len(names) + 1} "
+                + " ".join(str(x + 1) for x in h) + "\n")
+        eid += 1
+    f.write("$EndElements\n")
+    f.close()
+    return f.name
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -112,6 +245,8 @@ def main():
 
     if os.environ.get("PYNAMA_BENCH") == "scaling":
         return bench_scaling()
+    if os.environ.get("PYNAMA_BENCH") == "hex":
+        return bench_hex()
 
     size = os.environ.get("PYNAMA_BENCH", "default")
     if size == "small":
@@ -146,8 +281,11 @@ def main():
     p.setUp()
     ops = p.engine_ops
     assert ops is not None
-    log(f"setup {time.time()-t0:.1f}s: {p.mesh.n_nodes} nodes, "
+    setup_s = time.time() - t0
+    log(f"setup {setup_s:.1f}s: {p.mesh.n_nodes} nodes, "
         f"{p.mesh.n_cells} cells, ngl={ngl}, dtype={p.dtype}")
+    log(f"setup phases: "
+        f"{ {k: round(v, 2) for k, v in p.setup_phases.items()} }")
 
     nnz = assembled_nnz(p.mesh)
     log(f"assembled K nnz: {nnz/1e9:.3f} G")
@@ -166,13 +304,26 @@ def main():
             best = min(best, time.perf_counter() - t1)
         return best
 
-    def timed_slope(make_chain, *args, n1=None, n2=None, reps=5):
+    def timed_slope(make_chain, *args, n1=None, n2=None, reps=5,
+                    target_s=None):
         """Per-iteration device time from the slope between two chain
         lengths. On tunneled devices a single call carries O(10 ms) of
-        dispatch+fetch latency; the difference cancels it exactly, so the
-        slope is pure device time per iteration."""
+        dispatch+fetch latency AND tens of ms of jitter; the difference
+        cancels the constant part, and target_s sizes the long chain so
+        the measured signal dwarfs the jitter (the fused kernel is fast
+        enough that fixed short chains drown in noise). The shared chip's
+        throughput itself swings >10x between windows, so the long chain
+        is budgeted by the MEASURED rough rate (never 10*n1 blindly —
+        that turned a 550 s budget into a timeout in one slow window)."""
+        if target_s is not None:
+            rough = best_of(make_chain(n1), *args, reps=2)
+            per = max(rough / n1, 1e-7)
+            n2 = int(np.clip(target_s / per, 2 * n1, 200000))
+            # never let one timed call exceed ~2.5 s even when the rough
+            # estimate was taken in a fast window
+            n2 = min(n2, max(int(2.5 / per), 2 * n1))
         t1 = best_of(make_chain(n1), *args, reps=reps)
-        t2 = best_of(make_chain(n2), *args, reps=reps)
+        t2 = best_of(make_chain(n2), *args, reps=min(reps, 3))
         return max((t2 - t1) / (n2 - n1), 1e-9), t1
 
     def k_chain(nit):
@@ -184,11 +335,22 @@ def main():
             return jax.lax.fori_loop(0, nit, body, v)
         return f
 
-    t_apply, t_call = timed_slope(k_chain, ops, v, n1=50, n2=1650, reps=7)
+    t_apply, t_call = timed_slope(k_chain, ops, v, n1=400, reps=7,
+                                  target_s=1.0)
     gnnz_s = nnz / t_apply / 1e9
-    log(f"K apply (chain-slope 50->1650): {t_apply*1e6:.1f} us "
+    log(f"K apply (fused={ops.fused}): {t_apply*1e6:.1f} us "
         f"-> {gnnz_s:.1f} GNNZ/s effective "
         f"(single-call latency floor {t_call*1e3:.1f} ms)")
+
+    # unfused (jnp dss) comparator: same chain on a fused=False ops copy
+    t_apply_nf = None
+    if ops.fused:
+        import dataclasses as _dc
+        ops_nf = _dc.replace(ops, fused=False)
+        t_apply_nf, _ = timed_slope(k_chain, ops_nf, v, n1=400, reps=5,
+                                    target_s=1.0)
+        log(f"K apply (unfused jnp path): {t_apply_nf*1e6:.1f} us "
+            f"(fused speedup {t_apply_nf/t_apply:.2f}x)")
 
     # --- MFU + phase split (matmul vs DSS vs layout rotations)
     from pynama_tpu.ops import local as L
@@ -221,12 +383,14 @@ def main():
             return jax.lax.fori_loop(0, nit, body, v)
         return f
 
-    t_mm, _ = timed_slope(mm_chain, ops, v, n1=50, n2=1650, reps=5)
-    t_rot, _ = timed_slope(rot_chain, ops, v, n1=50, n2=1650, reps=5)
+    t_mm, _ = timed_slope(mm_chain, ops, v, n1=400, reps=5, target_s=1.0)
+    t_rot, _ = timed_slope(rot_chain, ops, v, n1=400, reps=5, target_s=0.5)
     t_dss = max(t_apply - t_mm, 0.0)
     log(f"phase split: matmul {t_mm*1e6:.1f} us ({flops/t_mm/1e12:.1f} "
         f"TFLOP/s, {mfu*100:.1f}% of f32-effective peak), "
-        f"DSS(incl rot) {t_dss*1e6:.1f} us, rotations {t_rot*1e6:.1f} us")
+        f"DSS-overhead {t_dss*1e6:.1f} us "
+        f"({t_dss/t_apply*100:.0f}% of apply), "
+        f"jnp-path rotations {t_rot*1e6:.1f} us")
 
     # --- CSR speed-of-light on this chip (f32: 4B value + 4B colidx per nnz)
     hbm_gbps = {"TPU v5 lite": 819.0, "TPU v5e": 819.0,
@@ -250,10 +414,23 @@ def main():
             return jax.lax.fori_loop(0, nit, body, u)
         return f
 
+    # a COLD chain: every iteration restarts from a ~zero initial guess
+    # (the i-dependence defeats hoisting without warming the start vector)
+    def cold_chain(nit):
+        @jax.jit
+        def f(ops_, w, u0):
+            def body(i, u):
+                _, u2 = E.solve_kle_local(ops_, w, u * (1e-20 * i), 0.0)
+                return u0 + 1e-30 * u2
+            return jax.lax.fori_loop(0, nit, body, u0)
+        return f
+
     t_solve, _ = timed_slope(solve_chain, ops, vort, vel0, n1=2, n2=10,
                              reps=3)
-    log(f"KLE solve (two-stage NS, rtol={ops.cg_rtol:g}): "
-        f"{t_solve*1e3:.2f} ms")
+    log(f"KLE solve (two-stage NS, pc={ops.pc}, rtol={ops.cg_rtol:g}): "
+        f"{t_solve*1e3:.2f} ms warm-started")
+    t_cold, _ = timed_slope(cold_chain, ops, vort, vel0, n1=2, n2=6, reps=3)
+    log(f"KLE solve (pc={ops.pc}, cold start): {t_cold*1e3:.2f} ms")
 
     # --- full RHS evaluation
     def rhs_chain(nit):
@@ -268,16 +445,22 @@ def main():
     t_rhs, _ = timed_slope(rhs_chain, ops, vort, vel0, n1=2, n2=10, reps=3)
     log(f"full RHS eval: {t_rhs*1e3:.2f} ms")
 
-    # --- KLE solve under the FDM preconditioner (DESIGN.md §4)
-    t_solve_fdm = None
+    # --- KLE solve under the FDM preconditioner (DESIGN.md §4), warm + cold
+    t_solve_fdm = t_cold_fdm = None
     if size in ("default", "large"):
+        t1 = time.time()
         p2 = Problem(cfg, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
                      cg_maxiter=1000, pc="fdm")
         p2.setUp()
+        log(f"fdm setup {time.time()-t1:.1f}s, phases "
+            f"{ {k: round(v, 2) for k, v in p2.setup_phases.items()} }")
         if p2.engine_ops.pc == "fdm":
             t_solve_fdm, _ = timed_slope(
                 solve_chain, p2.engine_ops, vort, vel0, n1=2, n2=10, reps=3)
-            log(f"KLE solve (pc=fdm): {t_solve_fdm*1e3:.2f} ms")
+            log(f"KLE solve (pc=fdm): {t_solve_fdm*1e3:.2f} ms warm-started")
+            t_cold_fdm, _ = timed_slope(
+                cold_chain, p2.engine_ops, vort, vel0, n1=2, n2=6, reps=3)
+            log(f"KLE solve (pc=fdm, cold start): {t_cold_fdm*1e3:.2f} ms")
 
     # --- high-order series (BASELINE.md N=6-8 refinement), default run only
     ho = None
@@ -309,10 +492,20 @@ def main():
         "vs_baseline": round(vs, 3),
         "detail": {
             "kle_solve_ms": round(t_solve * 1e3, 3),
+            "kle_solve_jacobi_ms": round(t_solve * 1e3, 3),
             "kle_solve_fdm_ms": None if t_solve_fdm is None
             else round(t_solve_fdm * 1e3, 3),
+            "kle_cold_jacobi_ms": round(t_cold * 1e3, 3),
+            "kle_cold_fdm_ms": None if t_cold_fdm is None
+            else round(t_cold_fdm * 1e3, 3),
+            "setup_s": round(setup_s, 1),
+            "setup_phases_s": {k: round(v, 2)
+                               for k, v in p.setup_phases.items()},
             "rhs_eval_ms": round(t_rhs * 1e3, 3),
             "k_apply_ms": round(t_apply * 1e3, 4),
+            "k_apply_unfused_ms": None if t_apply_nf is None
+            else round(t_apply_nf * 1e3, 4),
+            "fused": bool(ops.fused),
             "mfu": round(mfu, 4),
             "phase_us": {"matmul": round(t_mm * 1e6, 1),
                          "dss_incl_rot": round(t_dss * 1e6, 1),

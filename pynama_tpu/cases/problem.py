@@ -85,6 +85,16 @@ class Problem:
 
     # ------------------------------------------------------------------ setup
     def setUp(self):
+        import time as _time
+        phases = {}
+        t0 = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal t0
+            t1 = _time.perf_counter()
+            phases[name] = t1 - t0
+            t0 = t1
+
         cfg = get_config()
         dom = dict(self.config["domain"])
         ngl = int(self.opts.get("ngl", dom["ngl"]))
@@ -105,6 +115,7 @@ class Problem:
         self.ngl = ngl
         self.basis = make_tensor_basis(ngl, self.dim)
         self.dtype = cfg.resolved_dtype()
+        _mark("mesh")
 
         bc_data = dict(self.config["boundary-conditions"])
         for k in ("freeSlip", "noSlip"):
@@ -112,11 +123,19 @@ class Problem:
                 key = "free-slip" if k == "freeSlip" else "no-slip"
                 bc_data[key] = self.opts[k]
         self.bc = BoundaryConditions(self.mesh, bc_data)
+        _mark("bc")
 
         self._build_operators()
+        _mark("operators")
         self._build_kle_solver()
+        _mark("kle_solver")
         self._build_engine()
+        _mark("engine")
         self.vort, self.vel = self._initial_conditions()
+        _mark("initial_conditions")
+        self.setup_phases = phases
+        logger.info("setup phases: %s",
+                    {k: round(v, 2) for k, v in phases.items()})
         if logger.isEnabledFor(logging.DEBUG):
             from pynama_tpu.utils.report import format_ops_info, ops_info
             logger.debug(format_ops_info(ops_info(self)))
@@ -201,12 +220,17 @@ class Problem:
             cg_rtol=self.opts.get("cg_rtol", cfg.cg_rtol),
             cg_atol=self.opts.get("cg_atol", cfg.cg_atol),
             cg_maxiter=self.opts.get("cg_maxiter", cfg.cg_maxiter),
-            # default preconditioner: penalty-aware fast diagonalization
-            # (DESIGN.md §4 — 6.3x fewer cold-start iterations, 1.35x solve
-            # wall-clock on-chip); build_engine falls back to Jacobi
-            # automatically when the mesh has no tensor structure
-            pc=self.opts.get("pc", "fdm"),
-            krylov="gmres" if self.solver_method == "gmres" else "cg")
+            # default preconditioner: Jacobi. FDM wins COLD solves (6.3x
+            # fewer iterations, DESIGN.md §4) but loses the warm-started
+            # production chain: BENCH_r01 (jacobi) vs r02 (fdm) measured
+            # 108.9 -> 156.7 ms per two-stage solve at 24^3 ngl=4 — FDM's
+            # ~2x per-iteration cost isn't paid back when the RK stage
+            # starts from the previous velocity. Request pc="fdm"
+            # explicitly for cold/one-shot solves.
+            pc=self.opts.get("pc", "jacobi"),
+            krylov="gmres" if self.solver_method == "gmres" else "cg",
+            fused=self.opts.get("fused"),
+            sumfact=self.opts.get("sumfact"), basis=self.basis)
 
     # ------------------------------------------------- local layout shuttles
     def to_local(self, x):

@@ -100,6 +100,10 @@ class EngineOps:
     #: None unless pc="fdm" on a box mesh
     fdm_main: Optional[object]
     fdm_fs: Optional[object]
+    #: sum-factorized K (ops/sumfact.py SumFactK) replacing the dense
+    #: per-element KT on unstructured meshes (~56x less HBM per apply at
+    #: 3D ngl=4); None -> dense KT path
+    sumfact: Optional[object]
     # scalars as 0-d arrays (data, not static — avoids recompiles)
     rho: jax.Array
     mu: jax.Array
@@ -136,6 +140,14 @@ class EngineOps:
     #: (ops/local.py dss_overlapped); only meaningful when sharded
     overlap_dss: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    #: use the fused matmul+DSS Pallas kernel (ops/fused.py) for every
+    #: operator application on structured meshes — one HBM pass instead
+    #: of ~6 (TPU only; auto-enabled by build_engine on a tpu backend)
+    fused: bool = dataclasses.field(default=False,
+                                    metadata=dict(static=True))
+    #: run the fused kernel in Pallas interpret mode (CPU tests)
+    fused_interpret: bool = dataclasses.field(default=False,
+                                              metadata=dict(static=True))
 
     @property
     def n_cells(self):
@@ -176,7 +188,8 @@ def _vtensv_pairs(dim: int):
 
 def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                  rho, mu, dtype, cg_rtol=1e-12, cg_atol=0.0,
-                 cg_maxiter=2000, pc="jacobi", krylov="cg") -> EngineOps:
+                 cg_maxiter=2000, pc="jacobi", krylov="cg",
+                 fused=None, sumfact=None, basis=None) -> EngineOps:
     """Assemble the EngineOps pytree from setup-time numpy data.
 
     em_*/op_* are the dense element matrices from `elements/kle.py`
@@ -208,7 +221,6 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                           dtype=npdt)
     K_np = np.asarray(em_K, dtype=np.float64)
     tr = lambda a: np.swapaxes(np.asarray(a, dtype=np.float64), -1, -2)
-    KT = jnp.asarray(tr(K_np), dtype=npdt)
     de = np.diagonal(K_np, axis1=-2, axis2=-1) if K_np.ndim == 3 \
         else np.tile(np.diagonal(K_np)[None, :], (E, 1))
     diag = jnp.asarray(L.dss_np(mesh, de, dim), dtype=npdt)
@@ -272,6 +284,25 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
 
     tl = lambda a: jnp.asarray(L.to_local(mesh, a), dtype=npdt)
 
+    _plat = jax.devices()[0].platform
+    _fused = (getattr(mesh, "is_box", False)
+              and (bool(fused) if fused is not None else _plat == "tpu"))
+
+    # sum-factorized K: default ON for unstructured meshes (the dense
+    # per-element KT costs (nn*dim)^2 floats/element of HBM traffic per
+    # CG iteration; SumFactK streams ~2.6 KB/element instead)
+    sf = None
+    use_sf = (not getattr(mesh, "is_box", False)) if sumfact is None \
+        else bool(sumfact)
+    if use_sf and basis is not None:
+        from pynama_tpu.ops.sumfact import build_sumfact
+        sf = build_sumfact(basis, np.asarray(mesh.cell_corners), npdt)
+
+    # the dense element K never goes to the device when sumfact replaces
+    # it (that's the whole point: it is the HBM hog)
+    KT = jnp.zeros((0,), dtype=npdt) if sf is not None \
+        else jnp.asarray(tr(K_np), dtype=npdt)
+
     zdt = lambda x: jnp.asarray(x, dtype=npdt)
     return EngineOps(
         KT=KT,
@@ -285,7 +316,7 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         mask_vel=tl(mvel), mask_vort=tl(mvort), mask_tang=tl(mtang),
         const_vel=tl(cvel), const_vort=tl(cvort), const_tang=tl(ctang),
         func_sides=tuple(func_sides),
-        KinvT=KinvT, fdm_main=fdm_main, fdm_fs=fdm_fs,
+        KinvT=KinvT, fdm_main=fdm_main, fdm_fs=fdm_fs, sumfact=sf,
         P_v2cm=jnp.asarray(_comp_perm_idx(nn, dim)),
         P_cm2s=jnp.asarray(_comp_unperm_idx(nn, dim_s)),
         rho=zdt(rho), mu=zdt(mu), nu=zdt(mu / rho),
@@ -296,7 +327,11 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         cg_rtol=float(cg_rtol), cg_atol=float(cg_atol),
         cg_maxiter=int(cg_maxiter),
         pc=pc if (KinvT is not None or fdm_main is not None) else "jacobi",
-        krylov=krylov)
+        krylov=krylov,
+        # fused Pallas kernel: on by default on a TPU backend for
+        # structured meshes (one HBM pass per operator application);
+        # explicit fused=True on CPU runs it in interpret mode (tests)
+        fused=_fused, fused_interpret=_fused and _plat != "tpu")
 
 
 # ---------------------------------------------------------------------------
@@ -363,21 +398,53 @@ def _dss(ops: EngineOps, lay, t):
     return L.dss(lay, t, axis_name=ops.axis_name)
 
 
+def _apply_mat(ops: EngineOps, lay, t, matT):
+    """y = DSS(t @ matT), the one hot operator-application pattern.
+
+    With ops.fused on a structured mesh this runs the one-HBM-pass Pallas
+    kernel (ops/fused.py); when sharded, the kernel's raw axis-0 boundary
+    planes are ppermuted to the neighbor shards and accumulated (the
+    VecScatter part of a distributed MatMult, SURVEY §2.3)."""
+    if ops.fused and lay.structured:
+        from pynama_tpu.ops.fused import fused_apply
+        y, bnd = fused_apply(t, matT, ops.nelem, ops.ngl, lay.ncomp,
+                             interpret=ops.fused_interpret)
+        if ops.axis_name is not None:
+            nd = jax.lax.axis_size(ops.axis_name)
+            if nd > 1:
+                nnc, plane = lay.nnc, lay.plane_cols
+                ne0 = ops.nelem[0]
+                trail = int(np.prod(ops.nelem[1:]))
+                fwd = [(i, i + 1) for i in range(nd - 1)]
+                bwd = [(i + 1, i) for i in range(nd - 1)]
+                from_left = jax.lax.ppermute(bnd[1], ops.axis_name, fwd)
+                from_right = jax.lax.ppermute(bnd[0], ops.axis_name, bwd)
+                g = y.reshape(ne0, trail, nnc)
+                g = g.at[0, :, :plane].add(from_left)
+                g = g.at[-1, :, nnc - plane:].add(from_right)
+                y = g.reshape(-1, nnc)
+        return y
+    return _dss(ops, lay, L.emm(t, matT))
+
+
 def apply_K(ops: EngineOps, v):
-    return _dss(ops, ops.lay_v, L.emm(v, ops.KT))
+    if ops.sumfact is not None:
+        from pynama_tpu.ops.sumfact import apply_sumfact_k
+        return _dss(ops, ops.lay_v, apply_sumfact_k(ops.sumfact, v))
+    return _apply_mat(ops, ops.lay_v, v, ops.KT)
 
 
 def curl(ops: EngineOps, v):
     """Nodal curl (row-scaled assembled Curl, mat_fs.py:253-267)."""
-    return _dss(ops, ops.lay_w, L.emm(v, ops.curlT)) * ops.winv_w
+    return _apply_mat(ops, ops.lay_w, v, ops.curlT) * ops.winv_w
 
 
 def srt(ops: EngineOps, v):
-    return _dss(ops, ops.lay_s, L.emm(v, ops.srtT)) * ops.winv_s
+    return _apply_mat(ops, ops.lay_s, v, ops.srtT) * ops.winv_s
 
 
 def div_srt(ops: EngineOps, s):
-    return _dss(ops, ops.lay_v, L.emm(s, ops.divT)) * ops.winv_v
+    return _apply_mat(ops, ops.lay_v, s, ops.divT) * ops.winv_v
 
 
 def vtensv(ops: EngineOps, vel):
@@ -399,7 +466,7 @@ def _masked_solve(ops: EngineOps, free, vort, vel, fdm=None):
     (reference kle_solver.py:33-41 semantics)."""
     con = 1.0 - free
     vc = con * vel
-    b = free * (_dss(ops, ops.lay_v, L.emm(vort, ops.RwT))
+    b = free * (_apply_mat(ops, ops.lay_v, vort, ops.RwT)
                 - apply_K(ops, vc)) + vc
 
     def A(v):

@@ -22,8 +22,11 @@ pointwise dim×dim contractions (VPU):
 where D/D̃ are the full/reduced-family tensor-product derivative operators
 and T the Levi-Civita curl tensor (elements/kle.py curl_tensor). Exactly
 reproduces `elements/kle.py compute_kle_matrices` (same quadrature families,
-reference `src/domain/elements/spectral.py:96-160`) — equivalence-tested to
-f64 round-off against the dense per-element K on random distorted meshes.
+reference `src/domain/elements/spectral.py:96-160`); the equivalence against
+the dense per-element K on random distorted meshes is tested in
+`tests/test_sumfact.py`. Wired into the engine for unstructured meshes
+(engine flag `sumfact`, on by default there — see
+`local_engine.build_engine`).
 """
 from __future__ import annotations
 
@@ -74,7 +77,7 @@ def _family_geometry(DCoo: np.ndarray, weights: np.ndarray,
                      corners: np.ndarray):
     """Jinv (E, nq, dim, dim) and w|J| (E, nq) from corner coords."""
     J = np.einsum('qra,eap->eqrp', DCoo, corners)
-    detJ = np.linalg.det(J)
+    detJ = np.abs(np.linalg.det(J))   # w|J|: orientation-safe
     Jinv = np.linalg.inv(J)
     return Jinv, weights[None, :] * detJ
 

@@ -91,6 +91,15 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
     elif ops.pc == "fdm":
         pc = "jacobi"
 
+    # sum-factorized K: per-element geometry splits, shared tables stack
+    sf_s = None
+    if ops.sumfact is not None:
+        sf = ops.sumfact
+        sf_s = dataclasses.replace(
+            sf, G=split(sf.G), Jr=split(sf.Jr), wr=split(sf.wr),
+            Hf=bcast(sf.Hf), Df=bcast(sf.Df), Hr=bcast(sf.Hr),
+            Dr=bcast(sf.Dr), Tc=bcast(sf.Tc))
+
     nn = ops.nn
     fs_out = []
     for fs in ops.func_sides:
@@ -125,7 +134,7 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
         const_tang=split(ops.const_tang),
         func_sides=tuple(fs_out),
         KinvT=None if ops.KinvT is None else bcast(ops.KinvT),
-        fdm_main=fdm_main_s, fdm_fs=fdm_fs_s, pc=pc,
+        fdm_main=fdm_main_s, fdm_fs=fdm_fs_s, pc=pc, sumfact=sf_s,
         P_v2cm=bcast(ops.P_v2cm), P_cm2s=bcast(ops.P_cm2s),
         rho=jnp.broadcast_to(ops.rho, (ndev,)),
         mu=jnp.broadcast_to(ops.mu, (ndev,)),

@@ -225,7 +225,10 @@ def test_engine_transient_distorted(tmp_path):
         if engine:
             assert p.engine_ops is not None
             assert not p.engine_ops.lay_v.structured
-            assert p.engine_ops.KT.ndim == 3     # per-element matrices
+            # unstructured K is sum-factorized by default: the dense
+            # per-element KT never ships to the device (ops/sumfact.py)
+            assert p.engine_ops.sumfact is not None
+            assert p.engine_ops.KT.size == 0
         t, steps = p.start_solver(dt0=1e-3, atol=1e-5, rtol=1e-5)
         runs[engine] = (steps, np.asarray(p.vort), np.asarray(p.vel))
     assert runs[True][0] == runs[False][0] >= 3
