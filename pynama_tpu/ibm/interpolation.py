@@ -140,25 +140,58 @@ def normal_core(ops: IBMOps, nodes, w) -> jax.Array:
     return overlap * ops.h * ops.dl
 
 
-def normal_core_np(ops: IBMOps, nodes, w) -> np.ndarray:
+def normal_core_spgemm(ops: IBMOps, nodes, w) -> np.ndarray:
     """Host assembly of C for large supports (3D: the jittable eq-tensor is
-    (L,L,K^3,K^3) — too big). Accumulates per shared Euler node: O(sum over
-    nodes of fanin^2), float64."""
+    (L,L,K^3,K^3) — too big) via sparse W Wᵀ.
+
+    W is the (L, n_nodes) interpolation-weight matrix in CSR (each row is
+    one Lagrangian point's K^dim window — distinct columns by construction),
+    and C = W Wᵀ is exactly the SpGEMM the reference computes as
+    PETSc H.matMult(S) (`immersed_boundary.py:199-206`) — here through the
+    framework's own `sparse/spgemm.py`, fully vectorized."""
+    from pynama_tpu.sparse.formats import COO
+    from pynama_tpu.sparse.spgemm import spgemm
+
     nodes = np.asarray(nodes)
     wv = np.asarray(w, dtype=np.float64)
-    L = nodes.shape[0]
-    order = np.argsort(nodes.ravel(), kind="stable")
-    flat_n = nodes.ravel()[order]
-    flat_l = (np.arange(nodes.size) // nodes.shape[1])[order]
-    flat_w = wv.ravel()[order]
+    L, Kd = nodes.shape
+    rows = np.repeat(np.arange(L, dtype=np.int64), Kd)
+    cols = nodes.ravel().astype(np.int64)
+    vals = wv.ravel()
+    W = COO(row=rows, col=cols, data=vals, shape=(L, ops.n_nodes))
+    Wt = COO(row=cols, col=rows, data=vals, shape=(ops.n_nodes, L))
+    Ccsr = spgemm(W, Wt)
     C = np.zeros((L, L))
-    starts = np.flatnonzero(np.concatenate(
-        ([True], flat_n[1:] != flat_n[:-1], [True])))
-    for s, e in zip(starts[:-1], starts[1:]):
-        ls = flat_l[s:e]
-        np.add.at(C, (ls[:, None], ls[None, :]),
-                  flat_w[s:e, None] * flat_w[None, s:e])
+    indptr = np.asarray(Ccsr.indptr)
+    r = np.repeat(np.arange(L), np.diff(indptr))
+    C[r, np.asarray(Ccsr.indices)] = np.asarray(Ccsr.data)
     return C * float(ops.h) * float(ops.dl)
+
+
+def correction_cg(ops: IBMOps, nodes, w, vel_nodal, body_vel, flux0,
+                  n_nodes, rtol=1e-10, maxiter=200):
+    """Velocity correction with a MATRIX-FREE solve of C z = -(H v - v_body).
+
+    C = H S is never formed: each CG iteration applies z -> H(S z) through
+    the same gather/scatter tables the correction itself uses, so the whole
+    per-step work of a MOVING body (tables + solve + spread) is one jittable
+    device program — no host assembly (the reference rebuilds PETSc matrices
+    per step, `immersed_boundary.py:366-385`; the previous fallback here ran
+    a host O(sum fanin^2) loop per step for large 3D supports). C is the
+    Gram matrix W Wᵀ (SPD), so CG converges fast, and `flux0` warm-starts
+    from the previous step's flux. Returns (vel_correction, flux)."""
+    from pynama_tpu.solver.cg import pcg
+
+    def A(z):
+        return interp_H(ops, nodes, w, spread_S(ops, nodes, w, z, n_nodes))
+
+    # Jacobi: diag(C) = dl*h * sum_k w_k^2 per row, same for each component
+    d = (jnp.sum(w * w, axis=1) * ops.h * ops.dl)[:, None]
+    rhs = body_vel - interp_H(ops, nodes, w, vel_nodal)
+    res = pcg(A, rhs, flux0, M_inv=lambda r: r / d, rtol=rtol,
+              maxiter=maxiter)
+    corr = spread_S(ops, nodes, w, res.x, n_nodes)
+    return corr, res.x
 
 
 def correction(ops: IBMOps, nodes, w, chol, vel_nodal, body_vel, n_nodes):

@@ -143,12 +143,16 @@ class AdaptiveStepper:
                  rtol: float = 1e-4, tableau: str = "5bs",
                  safety: float = 0.9, clip: tuple = (0.1, 10.0),
                  dt_min: float = 1e-14, params=None, err_norm=None,
-                 jit: bool = True):
+                 jit: bool = True, attempt: Optional[Callable] = None):
         tab = get_tableau(tableau)
         self.with_params = params is not None
-        attempt = make_step(rhs, tab, atol, rtol, err_norm=err_norm,
-                            with_params=self.with_params)
-        self.attempt = jax.jit(attempt) if jit else attempt
+        if attempt is None:
+            attempt = make_step(rhs, tab, atol, rtol, err_norm=err_norm,
+                                with_params=self.with_params)
+            attempt = jax.jit(attempt) if jit else attempt
+        # else: a prebuilt trial stepper (e.g. a shard_map program) is used
+        # as-is — rhs/err_norm are ignored
+        self.attempt = attempt
         self.params = params
         self.expo = -1.0 / tab.order
         self.safety, self.clip, self.dt_min = safety, clip, dt_min
