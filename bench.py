@@ -274,6 +274,16 @@ def main():
     }
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    # wall-clock budget: optional sections are skipped once the deadline
+    # nears so the JSON line ALWAYS prints (the shared chip's throughput
+    # swings >10x between windows; a slow window must degrade the report,
+    # not kill it)
+    budget_s = float(os.environ.get("PYNAMA_BENCH_BUDGET", 540))
+    bench_t0 = time.time()
+
+    def time_left():
+        return budget_s - (time.time() - bench_t0)
+
     t0 = time.time()
     f64 = jax.config.jax_enable_x64
     p = Problem(cfg, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
@@ -324,7 +334,13 @@ def main():
             n2 = min(n2, max(int(2.5 / per), 2 * n1))
         t1 = best_of(make_chain(n1), *args, reps=reps)
         t2 = best_of(make_chain(n2), *args, reps=min(reps, 3))
-        return max((t2 - t1) / (n2 - n1), 1e-9), t1
+        slope = (t2 - t1) / (n2 - n1)
+        if slope <= 0:
+            # jitter swamped the short chain (contended windows show
+            # 100s-of-ms latency floors); fall back to the long chain's
+            # amortized rate — an upper bound, never 0
+            slope = t2 / n2
+        return max(slope, 1e-9), t1
 
     def k_chain(nit):
         @jax.jit
@@ -344,7 +360,7 @@ def main():
 
     # unfused (jnp dss) comparator: same chain on a fused=False ops copy
     t_apply_nf = None
-    if ops.fused:
+    if ops.fused and time_left() > 90:
         import dataclasses as _dc
         ops_nf = _dc.replace(ops, fused=False)
         t_apply_nf, _ = timed_slope(k_chain, ops_nf, v, n1=400, reps=5,
@@ -383,14 +399,17 @@ def main():
             return jax.lax.fori_loop(0, nit, body, v)
         return f
 
-    t_mm, _ = timed_slope(mm_chain, ops, v, n1=400, reps=5, target_s=1.0)
-    t_rot, _ = timed_slope(rot_chain, ops, v, n1=400, reps=5, target_s=0.5)
-    t_dss = max(t_apply - t_mm, 0.0)
-    log(f"phase split: matmul {t_mm*1e6:.1f} us ({flops/t_mm/1e12:.1f} "
-        f"TFLOP/s, {mfu*100:.1f}% of f32-effective peak), "
-        f"DSS-overhead {t_dss*1e6:.1f} us "
-        f"({t_dss/t_apply*100:.0f}% of apply), "
-        f"jnp-path rotations {t_rot*1e6:.1f} us")
+    t_mm = t_rot = t_dss = None
+    if time_left() > 90:
+        t_mm, _ = timed_slope(mm_chain, ops, v, n1=400, reps=5, target_s=1.0)
+        t_rot, _ = timed_slope(rot_chain, ops, v, n1=400, reps=5,
+                               target_s=0.5)
+        t_dss = max(t_apply - t_mm, 0.0)
+        log(f"phase split: matmul {t_mm*1e6:.1f} us ({flops/t_mm/1e12:.1f} "
+            f"TFLOP/s, {mfu*100:.1f}% of f32-effective peak), "
+            f"DSS-overhead {t_dss*1e6:.1f} us "
+            f"({t_dss/t_apply*100:.0f}% of apply), "
+            f"jnp-path rotations {t_rot*1e6:.1f} us")
 
     # --- CSR speed-of-light on this chip (f32: 4B value + 4B colidx per nnz)
     hbm_gbps = {"TPU v5 lite": 819.0, "TPU v5e": 819.0,
@@ -447,7 +466,7 @@ def main():
 
     # --- KLE solve under the FDM preconditioner (DESIGN.md §4), warm + cold
     t_solve_fdm = t_cold_fdm = None
-    if size in ("default", "large"):
+    if size in ("default", "large") and time_left() > 150:
         t1 = time.time()
         p2 = Problem(cfg, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
                      cg_maxiter=1000, pc="fdm")
@@ -464,7 +483,7 @@ def main():
 
     # --- high-order series (BASELINE.md N=6-8 refinement), default run only
     ho = None
-    if size == "default":
+    if size == "default" and time_left() > 90:
         cfg_ho = dict(cfg)
         cfg_ho["domain"] = {"ngl": 7, "box-mesh": {
             "nelem": [8] * dim, "lower": zero, "upper": [1] * dim}}
@@ -507,9 +526,10 @@ def main():
             else round(t_apply_nf * 1e3, 4),
             "fused": bool(ops.fused),
             "mfu": round(mfu, 4),
-            "phase_us": {"matmul": round(t_mm * 1e6, 1),
-                         "dss_incl_rot": round(t_dss * 1e6, 1),
-                         "rotations": round(t_rot * 1e6, 1)},
+            "phase_us": None if t_mm is None else {
+                "matmul": round(t_mm * 1e6, 1),
+                "dss_incl_rot": round(t_dss * 1e6, 1),
+                "rotations": round(t_rot * 1e6, 1)},
             "highorder": ho,
             "nnz": nnz,
             "nodes": p.mesh.n_nodes,
