@@ -540,4 +540,10 @@ def main():
 
 
 if __name__ == "__main__":
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+    # honor it explicitly (the scaling bench runs on virtual CPU devices)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     main()

@@ -7,25 +7,33 @@ path materializes the matmul output plus one full read-modify-write pass
 per mesh axis (interface-plane adds + layout rotation), ~6 full-array HBM
 passes total. This kernel does the whole thing in ONE pass over HBM:
 
-  * grid over axis-0 element slices; each (ne1*ne2, nnc) block is DMA'd
-    to VMEM once and the result written once;
-  * the element matmul runs on the MXU per slice;
-  * the in-slice exchanges (mesh axes 1..dim-1) are masked circular
-    rolls on the VMEM block: a sublane roll moves data between neighbor
-    elements, a lane roll moves it between the local node slots
-    (a_d = 0 <-> a_d = N-1), and iota masks kill the wrap-around
-    artifacts (every circularly wrapped row/column lands outside the
-    destination plane by construction);
-  * the axis-0 exchange pipelines across grid steps: step i computes
-    slice i's partial (axes 1..d-1 assembled) into a ping-pong VMEM
-    scratch and FINALIZES slice i-1, which needs its left neighbor's raw
-    last plane (kept in a small plane scratch) and its right neighbor's
-    raw first plane (just computed). The grid has ne0+1 steps; output
-    block i-1 is revisited at steps i-1 and i, so Pallas flushes it to
-    HBM only once complete.
+  * grid over BLOCKS of `blk` axis-0 element slices; each (blk*ne1*ne2,
+    nnc) block is DMA'd to VMEM once and the result written once. Blocking
+    matters: a measured decomposition at 24^3 ngl=4 showed the per-step
+    pipeline overhead of slice-sized (576, nnc) steps costing +27 us over
+    the XLA matmul — block-sized steps amortize it and feed the MXU
+    full-height tiles;
+  * the element matmul runs on the MXU per block;
+  * ALL in-block exchanges — mesh axes 1..dim-1 AND the axis-0 interfaces
+    interior to the block — are masked circular rolls on the VMEM block
+    (per-axis DSS passes commute: each sums over a disjoint index
+    dimension): a sublane roll moves data between neighbor elements, a
+    lane roll between the local node slots (a_d = 0 <-> a_d = N-1). The
+    destination masks factor EXACTLY into (rows, 1) x (1, nnc) predicates
+    — elements-with-a-neighbor x destination-plane — so they are built
+    from two 1D iotas per axis and fused into the accumulate, instead of
+    materializing (rows, nnc) mask buffers (which capped the block size
+    via VMEM);
+  * the cross-block axis-0 exchange pipelines across grid steps: step i
+    computes block i's partial (all in-block passes applied) into a
+    ping-pong VMEM scratch and FINALIZES block i-1, which needs its left
+    neighbor's raw last plane (kept in a small plane scratch) and its
+    right neighbor's raw first plane (just computed). The grid has
+    nblk+1 steps; output block i-1 is revisited at steps i-1 and i, so
+    Pallas flushes it to HBM only once complete.
 
 The kernel additionally returns the slab's two raw axis-0 boundary planes
-(axes 1..d-1 assembled, axis-0 adds NOT applied) — exactly what a
+(all in-slab passes applied, cross-slab adds NOT applied) — exactly what a
 neighboring shard must add under the slab decomposition, so the sharded
 path can ppermute them and accumulate (the ICI analog of PETSc's
 VecScatter inside a distributed MatMult, SURVEY §2.3).
@@ -44,112 +52,130 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: VMEM budget for choosing the axis-0 block size: the kernel keeps ~6
+#: block-sized buffers live (double-buffered in/out + ping-pong scratch)
+_VMEM_BUDGET_BYTES = 12 * 2**20
 
-def _inblock_axes(nelem: Sequence[int], ngl: int, ncomp: int):
-    """Static per-axis exchange parameters for the in-slice axes
-    d = 1..dim-1 of the canonical layout (node = a0*N^{dim-1} + ...,
-    column = node*ncomp + comp; slice rows = elements (e1[, e2])
-    row-major): (d, row_stride, col_shift, ne_d)."""
-    dim = len(nelem)
+
+def _pick_block(ne0: int, R: int, nnc: int, itemsize: int = 4) -> int:
+    """Largest divisor of ne0 whose block keeps ~6 live copies in budget."""
+    best = 1
+    for b in range(1, ne0 + 1):
+        if ne0 % b == 0 and 6 * b * R * nnc * itemsize <= _VMEM_BUDGET_BYTES:
+            best = b
+    return best
+
+
+def _inblock_axes(nelem_blk: Sequence[int], ngl: int, ncomp: int):
+    """Static per-axis exchange parameters for ALL in-block axes of the
+    canonical layout (node = a0*N^{dim-1} + ..., column = node*ncomp +
+    comp; block rows = elements (e0_blk, e1[, e2]) row-major):
+    (d, row_stride, col_shift, ne_d). Axis 0 uses the BLOCK's ne0."""
+    dim = len(nelem_blk)
     N = ngl
     out = []
-    for d in range(1, dim):
-        row_stride = int(np.prod(nelem[d + 1:]))
+    for d in range(dim):
+        row_stride = int(np.prod(nelem_blk[d + 1:]))
         col_shift = (N - 1) * (N ** (dim - 1 - d)) * ncomp
-        out.append((d, row_stride, col_shift, int(nelem[d])))
+        out.append((d, row_stride, col_shift, int(nelem_blk[d])))
     return out
 
 
-def _axis_masks(R, nnc, nelem, ngl, ncomp, d, dtype):
-    """(R, nnc) {0,1} destination masks for the axis-d in-slice exchange:
-    (valid neighbor exists) x (destination node plane a_d = N-1 / 0)."""
-    dim = len(nelem)
+def _axis_mask_factors(rows, nnc, nelem_blk, ngl, ncomp, d, dtype):
+    """Factored destination masks for the axis-d in-block exchange:
+    (rows, 1) neighbor-exists predicates x (1, nnc) destination-plane
+    predicates. Exact: e_d depends on the row only, a_d on the column."""
+    dim = len(nelem_blk)
     N = ngl
-    row_stride = int(np.prod(nelem[d + 1:]))
-    ne_d = int(nelem[d])
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, nnc), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, nnc), 1)
-    e_d = (rows // row_stride) % ne_d
-    node = cols // ncomp
-    a_d = (node // (N ** (dim - 1 - d))) % N
-    m_next = ((e_d < ne_d - 1) & (a_d == N - 1)).astype(dtype)
-    m_prev = ((e_d > 0) & (a_d == 0)).astype(dtype)
-    return m_next, m_prev
+    row_stride = int(np.prod(nelem_blk[d + 1:]))
+    ne_d = int(nelem_blk[d])
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, nnc), 1)
+    e_d = (r // row_stride) % ne_d
+    a_d = ((c // ncomp) // (N ** (dim - 1 - d))) % N
+    rn = (e_d < ne_d - 1).astype(dtype)
+    rp = (e_d > 0).astype(dtype)
+    cn = (a_d == N - 1).astype(dtype)
+    cp = (a_d == 0).astype(dtype)
+    return rn, cn, rp, cp
 
 
-def _fused_kernel(nelem, ngl, ncomp_out, dtype,
-                  t_ref, m_ref, out_ref, bnd_ref, u_scr, last_scr,
-                  mask_scr):
-    dim = len(nelem)
+def _fused_kernel(nelem_blk, ngl, ncomp_out, dtype, nblk, R_sl,
+                  t_ref, m_ref, out_ref, bnd_ref, u_scr, last_scr):
+    dim = len(nelem_blk)
     N = ngl
-    ne0 = int(nelem[0])
-    R = int(np.prod(nelem[1:]))
+    Rb = int(np.prod(nelem_blk))        # block rows (blk * ne1 [* ne2])
     nnc = N ** dim * ncomp_out
     plane = (N ** (dim - 1)) * ncomp_out
     i = pl.program_id(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     prev_slot = 1 - slot
-    live_axes = [a for a in _inblock_axes(nelem, N, ncomp_out)
+    live_axes = [a for a in _inblock_axes(nelem_blk, N, ncomp_out)
                  if a[3] > 1]
 
-    # destination masks once per kernel launch (iota int div/mod is
-    # multi-cycle VPU work — 2*dim (R, nnc) buffers beat recomputing
-    # them on all ne0 grid steps)
-    @pl.when(i == 0)
-    def _masks():
-        for k, (d, _, _, _) in enumerate(live_axes):
-            m_next, m_prev = _axis_masks(R, nnc, nelem, N, ncomp_out,
-                                         d, dtype)
-            mask_scr[2 * k] = m_next
-            mask_scr[2 * k + 1] = m_prev
-
-    @pl.when(i < ne0)
+    @pl.when(i < nblk)
     def _compute():
         u = jnp.dot(t_ref[:], m_ref[:],
                     preferred_element_type=dtype,
                     precision=jax.lax.Precision.HIGHEST)
-        for k, (d, row_stride, col_shift, ne_d) in enumerate(live_axes):
-            # pltpu.roll requires non-negative shifts: normalize mod
-            # the axis size (circular semantics are identical; masks
-            # kill every wrapped row/column)
-            nxt = pltpu.roll(pltpu.roll(u, (R - row_stride) % R, 0),
+        for d, row_stride, col_shift, ne_d in live_axes:
+            # pltpu.roll requires non-negative shifts: normalize mod the
+            # axis size (circular semantics are identical; the factored
+            # masks kill every wrapped row/column)
+            rn, cn, rp, cp = _axis_mask_factors(Rb, nnc, nelem_blk, N,
+                                                ncomp_out, d, dtype)
+            nxt = pltpu.roll(pltpu.roll(u, (Rb - row_stride) % Rb, 0),
                              col_shift % nnc, 1)
-            prv = pltpu.roll(pltpu.roll(u, row_stride % R, 0),
+            prv = pltpu.roll(pltpu.roll(u, row_stride % Rb, 0),
                              (nnc - col_shift) % nnc, 1)
-            u = u + nxt * mask_scr[2 * k] + prv * mask_scr[2 * k + 1]
+            u = u + nxt * (rn * cn) + prv * (rp * cp)
         u_scr[slot] = u
-        # raw first plane of slice 0 = what the LEFT shard neighbor adds
+        # raw first plane of block 0 = what the LEFT shard neighbor adds
         @pl.when(i == 0)
         def _():
-            bnd_ref[0] = u[:, :plane]
+            bnd_ref[0] = u[:R_sl, :plane]
 
     @pl.when(i >= 1)
     def _finalize():
-        z = u_scr[prev_slot]                     # u_{i-1}, pre-axis-0
-        new_last = z[:, nnc - plane:]            # raw: save before adds
+        z = u_scr[prev_slot]                     # u_{i-1}, pre-cross-block
+        new_last = z[Rb - R_sl:, nnc - plane:]   # raw: save before adds
         # left neighbor's raw last plane (only exists for i-1 >= 1)
-        zfirst = z[:, :plane] + jnp.where(i >= 2, last_scr[:], 0.0)
+        zfirst = z[:R_sl, :plane] + jnp.where(i >= 2, last_scr[:], 0.0)
         # right neighbor's raw first plane (only exists when computed)
-        zlast = new_last + jnp.where(i < ne0, u_scr[slot][:, :plane], 0.0)
-        out_ref[:, :plane] = zfirst
-        if nnc > 2 * plane:
-            out_ref[:, plane:nnc - plane] = z[:, plane:nnc - plane]
-        out_ref[:, nnc - plane:] = zlast
+        zlast = new_last + jnp.where(i < nblk,
+                                     u_scr[slot][:R_sl, :plane], 0.0)
+        out_ref[:R_sl, :plane] = zfirst
+        out_ref[:R_sl, plane:] = z[:R_sl, plane:]
+        if Rb > 2 * R_sl:
+            out_ref[R_sl:Rb - R_sl, :] = z[R_sl:Rb - R_sl, :]
+        if Rb > R_sl:
+            out_ref[Rb - R_sl:, :nnc - plane] = z[Rb - R_sl:, :nnc - plane]
+            out_ref[Rb - R_sl:, nnc - plane:] = zlast
+        else:
+            out_ref[:, nnc - plane:] = zlast
         last_scr[:] = new_last
-        # raw last plane of the final slice = RIGHT shard neighbor's add
-        @pl.when(i == ne0)
+        # raw last plane of the final block = RIGHT shard neighbor's add
+        @pl.when(i == nblk)
         def _():
             bnd_ref[1] = new_last
 
+    # Rb == R_sl (block = one slice): first and last slice coincide; the
+    # two writes above would overlap — handled by the else branch writing
+    # the full trailing columns after the leading-plane write.
+
 
 @functools.partial(jax.jit, static_argnames=("nelem", "ngl", "ncomp_out",
-                                             "interpret"))
+                                             "interpret", "block"))
 def fused_apply(t: jax.Array, matT: jax.Array, nelem: tuple, ngl: int,
-                ncomp_out: int, interpret: bool = False):
+                ncomp_out: int, interpret: bool = False,
+                block: int | None = None):
     """y = DSS(t @ matT) on the canonical element-local layout of a box
     mesh, one HBM pass. Returns (y, bnd) with bnd the (2, R, plane) raw
     axis-0 boundary planes for cross-shard accumulation (ignore when
     unsharded: the in-shard axis-0 adds are already applied in y).
+
+    `block` forces the axis-0 slices-per-grid-step (must divide nelem[0]);
+    default picks the largest divisor fitting the VMEM budget.
     """
     dim = len(nelem)
     ne0 = int(nelem[0])
@@ -158,21 +184,28 @@ def fused_apply(t: jax.Array, matT: jax.Array, nelem: tuple, ngl: int,
     nnc_out = ngl ** dim * ncomp_out
     plane = (ngl ** (dim - 1)) * ncomp_out
     dtype = t.dtype
+    blk = _pick_block(ne0, R, max(nnc_in, nnc_out), t.dtype.itemsize) \
+        if block is None else int(block)
+    if ne0 % blk != 0:
+        raise ValueError(f"block {blk} does not divide nelem[0]={ne0}")
+    nblk = ne0 // blk
+    Rb = blk * R
+    nelem_blk = (blk,) + tuple(nelem[1:])
 
-    kernel = functools.partial(_fused_kernel, tuple(nelem), ngl,
-                               ncomp_out, dtype)
+    kernel = functools.partial(_fused_kernel, nelem_blk, ngl,
+                               ncomp_out, dtype, nblk, R)
     out, bnd = pl.pallas_call(
         kernel,
-        grid=(ne0 + 1,),
+        grid=(nblk + 1,),
         in_specs=[
-            pl.BlockSpec((R, nnc_in),
-                         lambda i: (jnp.minimum(i, ne0 - 1), 0),
+            pl.BlockSpec((Rb, nnc_in),
+                         lambda i: (jnp.minimum(i, nblk - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nnc_in, nnc_out), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R, nnc_out),
+            pl.BlockSpec((Rb, nnc_out),
                          lambda i: (jnp.maximum(i - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, R, plane), lambda i: (0, 0, 0),
@@ -183,9 +216,8 @@ def fused_apply(t: jax.Array, matT: jax.Array, nelem: tuple, ngl: int,
             jax.ShapeDtypeStruct((2, R, plane), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, R, nnc_out), dtype),
+            pltpu.VMEM((2, Rb, nnc_out), dtype),
             pltpu.VMEM((R, plane), dtype),
-            pltpu.VMEM((max(2 * (dim - 1), 1), R, nnc_out), dtype),
         ],
         interpret=interpret,
     )(t, matT)

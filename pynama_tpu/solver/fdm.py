@@ -55,6 +55,11 @@ class FDMOps:
     Qs: tuple
     #: 1/(sum of per-axis eigenvalues) per node and component, (n_nodes, c)
     dinv: jax.Array
+    #: per-mode (ncomp, ncomp) INVERSE blocks of the exact mode-block-
+    #: diagonal of the transformed operator (captures the cross-component
+    #: penalty coupling the scalar dinv misses — the FS-stage fix);
+    #: (ncomp, ncomp) + npts, or None for the scalar-diagonal form
+    binv: object
     #: representative element slot of each global node, (n_nodes,) into E*nn
     rep_rows: jax.Array
     #: (E, nn) global node id per element slot (local scatter-back gather)
@@ -97,7 +102,12 @@ def _axis_matrices_1d(ngl: int, length: float, ne: int):
     A, B = pair(q1, w1)
     qr, wr = gauss_points(ngl - 1)
     Ar, Br = pair(qr, wr)
-    return A, B, Ar, Br
+    # mixed reduced-quadrature factor D̃ᵀW H̃ (the 1D piece of the CROSS-
+    # component penalty blocks): physical scales cancel, (2/he)(he/2) = 1
+    h, dh = lagrange_basis(nodes1d, qr)
+    C_e = dh.T @ (wr[:, None] * h)
+    Cr = _assemble_1d(ngl, ne, C_e)
+    return A, B, Ar, Br, Cr
 
 
 def _gen_eigh(A: np.ndarray, B: np.ndarray):
@@ -142,7 +152,8 @@ def _axis_free_masks(mask_c: np.ndarray, npts: tuple):
 def build_fdm(mesh, free_mask_np: np.ndarray, dtype,
               diag_global: np.ndarray | None = None,
               alpha_w: float | None = None,
-              alpha_d: float | None = None) -> FDMOps | None:
+              alpha_d: float | None = None,
+              block: bool = True) -> FDMOps | None:
     """FDM data for one masked system; None when the mesh has no tensor
     structure. free_mask_np: (n_nodes, dim) bool/float free-dof mask.
 
@@ -185,7 +196,7 @@ def build_fdm(mesh, free_mask_np: np.ndarray, dtype,
             f = np.where(factors[d])[0]
             if f.size == 0:
                 return None     # degenerate: nothing free along an axis
-            A, B, Ar, Br = AB[d]
+            A, B, Ar, Br, _Cr = AB[d]
             lam, Q = _gen_eigh(A[np.ix_(f, f)], B[np.ix_(f, f)])
             lam = np.maximum(lam, 0.0)
             Qs[d][c][np.ix_(f, np.arange(f.size))] = Q
@@ -220,10 +231,49 @@ def build_fdm(mesh, free_mask_np: np.ndarray, dtype,
                              1e-12 * max(float(lam_sum.max()), 1.0))
     dinv = (1.0 / dsum).reshape(dim, -1).T            # (n_nodes, dim)
 
+    binv = None
+    if block:
+        # exact per-mode (dim x dim) block diagonal of the transformed
+        # operator: since diag(A (x) B) = diag(A) (x) diag(B), the mode-
+        # diagonal of every cross-component penalty block ⊗_e Q_cᵀ X_e Q_c'
+        # is the product of per-axis diagonals diag(Q_c,eᵀ X_e Q_c',e).
+        # The scalar dinv drops these cross entries — exactly the mode-
+        # off-diagonal coupling that made the FS stage need 3x the main
+        # stage's iterations (docs/ROADMAP r2 item; DESIGN.md §4). The
+        # block diagonal of an SPD congruence is SPD; eigenvalue clipping
+        # below guards the padded/rounded modes.
+        def cross_diag(c, c2, d, X):
+            return np.einsum("im,ij,jm->m", Qs[d][c], X, Qs[d][c2])
+
+        Bmat = np.zeros((dim, dim) + npts)
+        for c in range(dim):
+            Bmat[c, c] = dsum[c]
+        for c in range(dim):
+            for c2 in range(c + 1, dim):
+                div_f = np.ones(npts)
+                curl_f = np.ones(npts)
+                for e in range(dim):
+                    _, _, _, Br, Cr = AB[e]
+                    Xd = Cr if e == c else (Cr.T if e == c2 else Br)
+                    Xw = Cr if e == c2 else (Cr.T if e == c else Br)
+                    div_f = div_f * cross_diag(c, c2, e, Xd)[grids[e]]
+                    curl_f = curl_f * cross_diag(c, c2, e, Xw)[grids[e]]
+                off = ad * div_f - aw * curl_f
+                Bmat[c, c2] = off
+                Bmat[c2, c] = off
+        Bb = np.moveaxis(Bmat.reshape(dim, dim, -1), -1, 0)  # (n, c, c)
+        Bb = 0.5 * (Bb + np.swapaxes(Bb, 1, 2))
+        lam_b, V = np.linalg.eigh(Bb)
+        floor = 1e-10 * np.maximum(lam_b.max(axis=1, keepdims=True), 1.0)
+        lam_b = np.maximum(lam_b, floor)
+        Binv = np.einsum("nck,nk,ndk->ncd", V, 1.0 / lam_b, V)
+        binv = np.moveaxis(Binv, 0, -1).reshape((dim, dim) + npts)
+
     rep = np.asarray(mesh.incidence)[:, 0].astype(np.int32)
     return FDMOps(
         Qs=tuple(jnp.asarray(q, dtype=dtype) for q in Qs),
         dinv=jnp.asarray(dinv, dtype=dtype),
+        binv=None if binv is None else jnp.asarray(binv, dtype=dtype),
         rep_rows=jnp.asarray(rep),
         cell_nodes=jnp.asarray(np.asarray(mesh.cell_nodes, dtype=np.int32)),
         jleft=jnp.asarray(jleft, dtype=dtype),
@@ -254,6 +304,9 @@ class SlabFDM:
     Qs_rest: tuple
     #: replicated full mode-grid denominators, (ndev, c, n0[, n1, n2])
     dinv_grid: jax.Array
+    #: replicated per-mode inverse blocks, (ndev, c, c, n0[, n1, n2]) or
+    #: None (scalar-diagonal form)
+    binv_grid: object
     #: slab slice of the Jacobi-leftover coefficients, (ndev, slab_nodes, c)
     jleft: jax.Array
     ncomp: int = dataclasses.field(metadata=dict(static=True))
@@ -287,6 +340,7 @@ def shard_fdm(f: FDMOps, ndev: int) -> SlabFDM:
         Q0_syn=jnp.asarray(syn, dtype=dt),
         Qs_rest=tuple(bcast(q) for q in f.Qs[1:]),
         dinv_grid=bcast(jnp.moveaxis(f.dinv, -1, 0).reshape((c,) + npts)),
+        binv_grid=None if f.binv is None else bcast(f.binv),
         jleft=jnp.asarray(jl, dtype=dt),
         ncomp=c)
 
@@ -389,7 +443,11 @@ def fdm_apply(f: FDMOps, r_loc: jax.Array, nelem: tuple | None = None,
     g0 = z
     csh = (c,) + f.npts
     z = _transform_chain(f.Qs, z, transpose_q=True)     # analysis (Qᵀ)
-    z = z * f.dinv.T.reshape(csh)
+    if f.binv is not None:
+        z = jnp.einsum("ab...,b...->a...", f.binv, z,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        z = z * f.dinv.T.reshape(csh)
     z = _transform_chain(f.Qs, z, transpose_q=False)    # synthesis (Q)
     z = z + f.jleft.T.reshape(csh) * g0
     z = jnp.moveaxis(z, 0, -1)                      # back to (np..., c)
@@ -430,7 +488,12 @@ def fdm_apply_slab(f: SlabFDM, r_loc: jax.Array, nelem: tuple, ngl: int,
     sh = z.shape
     zh = _mm(jnp.swapaxes(f.Q0_own, 1, 2), z.reshape(c, sh[1], -1))
     zh = jax.lax.psum(zh, axis_name)                # (c, n0, rest)
-    zh = zh.reshape(f.dinv_grid.shape) * f.dinv_grid
+    if f.binv_grid is not None:
+        zh = jnp.einsum("ab...,b...->a...", f.binv_grid,
+                        zh.reshape(f.dinv_grid.shape),
+                        precision=jax.lax.Precision.HIGHEST)
+    else:
+        zh = zh.reshape(f.dinv_grid.shape) * f.dinv_grid
     # synthesis: slab rows from the replicated modes (no comm), local axes
     z = _mm(f.Q0_syn, zh.reshape(c, zh.shape[1], -1)).reshape(sh)
     for i, Q in enumerate(f.Qs_rest):

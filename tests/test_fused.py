@@ -58,6 +58,32 @@ def test_fused_matches_jnp_dss(nelem, ngl, cin, cout):
     assert float(jnp.max(jnp.abs(bnd[1] - last))) / scale < 1e-5
 
 
+@pytest.mark.parametrize("block", [1, 2, 3, 6])
+def test_fused_block_sizes(block):
+    """Every axis-0 blocking factor (1 slice .. whole mesh per grid step)
+    reproduces the jnp DSS — the in-block axis-0 exchange (masked sublane
+    roll) and the cross-block pipeline must agree for any split."""
+    nelem, ngl, cin, cout = (6, 3, 2), 3, 3, 3
+    dim = len(nelem)
+    mesh = BoxMesh.create(ngl, list(nelem), [0] * dim, [1] * dim)
+    lay = L.make_local_layout(mesh, cout, dtype=jnp.float32)
+    nn = ngl ** dim
+    rng = np.random.default_rng(11)
+    t = jnp.asarray(rng.standard_normal((mesh.n_cells, nn * cin)),
+                    dtype=jnp.float32)
+    matT = jnp.asarray(rng.standard_normal((nn * cin, nn * cout)),
+                       dtype=jnp.float32)
+    ref = L.dss(lay, L.emm(t, matT))
+    got, bnd = fused_apply(t, matT, tuple(nelem), ngl, cout,
+                           interpret=True, block=block)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-5
+    # boundary planes are block-size invariant
+    got1, bnd1 = fused_apply(t, matT, tuple(nelem), ngl, cout,
+                             interpret=True, block=1)
+    assert float(jnp.max(jnp.abs(bnd - bnd1))) / scale < 1e-5
+
+
 def _tiny_problem(fused, nelem=(4, 3, 3), ngl=3):
     from pynama_tpu.cases import Problem
     dim = len(nelem)
