@@ -4,7 +4,13 @@ PYTHON ?= python
 CASE ?= taylor-green
 ARGS ?=
 
-.PHONY: run_case test bench bench-small bench-scaling
+.PHONY: run_case test bench bench-small bench-scaling smoke
+
+# REQUIRED after any commit touching a Pallas kernel, engine default, or
+# preconditioner: compiles + runs the flagship bench configs on the real
+# backend (CPU pytest cannot catch Mosaic compile failures — see smoke.py)
+smoke:
+	$(PYTHON) smoke.py
 
 run_case:
 	$(PYTHON) -m pynama_tpu.run_case -case $(CASE) $(ARGS)

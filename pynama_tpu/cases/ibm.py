@@ -259,6 +259,14 @@ class ImmersedBoundaryStatic(Problem):
                 hist["dt"].append(float(dt))
                 hist["steps"].append(step)
                 hist["elapsedTimes"].append(timer.toc())
+                if self.viewer is not None:
+                    # same force-history yaml artifact as the
+                    # single-device path writes above
+                    self.viewer.write_yaml(self.case_name, {
+                        "dh": self.h, "dl": self.body.dl,
+                        "lagPoints": self.body.n_nodes,
+                        "eulerNodes": self.mesh.n_nodes * self.dim_w,
+                        "ngl": self.ngl, **hist})
             if post_step is not None:
                 post_step(step, t, dt,
                           se.gather_state(vort_s, self.dim_w),
@@ -293,28 +301,51 @@ class ImmersedBoundaryDynamic(ImmersedBoundaryStatic):
     matrix is ever formed, vs the reference's full PETSc matrix/KSP rebuild
     per step (`immersed_boundary.py:366-385`). This removes the host
     O(sum fanin^2) assembly the large-3D static path needs, so moving 3D
-    bodies step at device speed."""
+    bodies step at device speed.
+
+    Note: the inherited PUBLIC `velocity_correction` (Cholesky on
+    `self.chol`) reflects the body at t0 — the per-step hot path is
+    `_per_step_correction` (matrix-free, current position); `_save_step`
+    refreshes the visualization tables to the current position."""
 
     def setUp(self):
         super().setUp()
         self._flux = jnp.zeros((self.body.n_nodes, self.dim),
                                dtype=self.dtype)
 
+        self._corr_rtol = 1e-12 if self.dtype == jnp.float64 else 1e-7
+
         def _step_corr(ops, xy, vel, body_vel, flux0):
             nodes, w = I.support_tables(ops, xy)
-            corr, flux = I.correction_cg(
+            corr, flux, stats = I.correction_cg(
                 ops, nodes, w, vel, body_vel, flux0,
-                n_nodes=self.mesh.n_nodes,
-                rtol=1e-12 if vel.dtype == jnp.float64 else 1e-7)
-            return corr, flux
+                n_nodes=self.mesh.n_nodes, rtol=self._corr_rtol)
+            return corr, flux, stats
 
         self._jit_step_corr = jax.jit(_step_corr)
 
     def _per_step_correction(self, vel, t):
         self.body.update_parameters(t)           # host O(L) kinematics only
         xy = jnp.asarray(self.body.coordinates(), dtype=self.dtype)
+        self._xy = xy                             # for _save_step refresh
         body_vel = jnp.asarray(self.body.velocities(), dtype=self.dtype)
-        corr, flux = self._jit_step_corr(self.ibm_ops, xy, jnp.asarray(vel),
-                                         body_vel, self._flux)
+        corr, flux, stats = self._jit_step_corr(
+            self.ibm_ops, xy, jnp.asarray(vel), body_vel, self._flux)
         self._flux = flux
+        relres = float(stats[1])
+        if relres > 10 * self._corr_rtol:
+            logger.warning(
+                "IBM correction CG stalled: %d iters, relres %.2e "
+                "(rigid-body constraint under-enforced at t=%g)",
+                int(stats[0]), relres, t)
         return jnp.asarray(vel) + corr, flux
+
+    def _save_step(self, step, t, vort, vel):
+        """Refresh the host-side support tables to the CURRENT body
+        position before writing ibm_zone/affected_nodes (the hot path
+        never materializes them for a moving body; without this the
+        visualization markers would stay frozen at t0)."""
+        if getattr(self, "_xy", None) is not None:
+            self.nodes_tab, self.w_tab = self._jit_tables(self.ibm_ops,
+                                                          self._xy)
+        super()._save_step(step, t, vort, vel)

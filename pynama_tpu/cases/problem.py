@@ -230,6 +230,7 @@ class Problem:
             pc=self.opts.get("pc", "jacobi"),
             krylov="gmres" if self.solver_method == "gmres" else "cg",
             fused=self.opts.get("fused"),
+            fused_block=self.opts.get("fused_block"),
             sumfact=self.opts.get("sumfact"), basis=self.basis)
 
     # ------------------------------------------------- local layout shuttles

@@ -30,6 +30,7 @@ top).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional
 
 import jax
@@ -148,6 +149,13 @@ class EngineOps:
     #: run the fused kernel in Pallas interpret mode (CPU tests)
     fused_interpret: bool = dataclasses.field(default=False,
                                               metadata=dict(static=True))
+    #: compile-probed axis-0 block per operator shape:
+    #: (((nnc_in, nnc_out), block), ...). Empty -> fused_apply's analytic
+    #: default. Populated by build_engine's on-target compile probe
+    #: (ops/fused.py probe_block) so a block that fails Mosaic's
+    #: scoped-VMEM check can never reach a production run.
+    fused_blocks: tuple = dataclasses.field(default=(),
+                                            metadata=dict(static=True))
 
     @property
     def n_cells(self):
@@ -186,10 +194,40 @@ def _vtensv_pairs(dim: int):
     return [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2), (2, 0)]
 
 
+def _engine_fused_shapes(dim, dim_w, dim_s, nn):
+    """The (nnc_in, nnc_out) pairs every operator application uses:
+    K (v->v), Rw (w->v), curl (v->w), srt (v->s), div (s->v)."""
+    nv, nw, ns = nn * dim, nn * dim_w, nn * dim_s
+    return sorted({(nv, nv), (nw, nv), (nv, nw), (nv, ns), (ns, nv)})
+
+
+def probe_fused_blocks(nelem, ngl, dim, dim_w, dim_s, dtype,
+                       forced_block=None):
+    """Compile-probe every operator shape's fused block on the current
+    backend. Returns the EngineOps.fused_blocks tuple, or None if any
+    shape fails to compile even at block=1 (caller disables fused)."""
+    from pynama_tpu.ops.fused import probe_block
+    nn = int(ngl) ** int(dim)
+    out = []
+    for (ci, co) in _engine_fused_shapes(dim, dim_w, dim_s, nn):
+        if forced_block is not None:
+            out.append(((ci, co), int(forced_block)))
+            continue
+        b = probe_block(tuple(nelem), int(ngl), ci, co // nn, dtype)
+        if b == 0:
+            logging.getLogger("pynama_tpu.engine").warning(
+                "fused kernel does not compile at shape %s->%s even at "
+                "block=1; disabling the fused path", ci, co)
+            return None
+        out.append(((ci, co), b))
+    return tuple(out)
+
+
 def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                  rho, mu, dtype, cg_rtol=1e-12, cg_atol=0.0,
                  cg_maxiter=2000, pc="jacobi", krylov="cg",
-                 fused=None, sumfact=None, basis=None) -> EngineOps:
+                 fused=None, fused_block=None, sumfact=None,
+                 basis=None) -> EngineOps:
     """Assemble the EngineOps pytree from setup-time numpy data.
 
     em_*/op_* are the dense element matrices from `elements/kle.py`
@@ -287,6 +325,19 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
     _plat = jax.devices()[0].platform
     _fused = (getattr(mesh, "is_box", False)
               and (bool(fused) if fused is not None else _plat == "tpu"))
+    # On a real TPU backend, every operator shape's block is COMPILE-PROBED
+    # before the engine ships it (ops/fused.py probe_block): a Mosaic
+    # scoped-VMEM OOM at production sizes degrades to a smaller block or
+    # to the unfused jnp path — it can never crash a run (the reference's
+    # assembled MatMult never fails to run, base_problem.py:123-136).
+    _fblocks = ()
+    if _fused and _plat == "tpu":
+        nelem_box = tuple(getattr(mesh, "nelem", ()))
+        _fblocks = probe_fused_blocks(nelem_box, mesh.ngl, dim, dim_w,
+                                      dim_s, npdt,
+                                      forced_block=fused_block)
+        if _fblocks is None:
+            _fused, _fblocks = False, ()
 
     # sum-factorized K: default ON for unstructured meshes (the dense
     # per-element KT costs (nn*dim)^2 floats/element of HBM traffic per
@@ -331,7 +382,8 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         # fused Pallas kernel: on by default on a TPU backend for
         # structured meshes (one HBM pass per operator application);
         # explicit fused=True on CPU runs it in interpret mode (tests)
-        fused=_fused, fused_interpret=_fused and _plat != "tpu")
+        fused=_fused, fused_interpret=_fused and _plat != "tpu",
+        fused_blocks=_fblocks)
 
 
 # ---------------------------------------------------------------------------
@@ -407,8 +459,9 @@ def _apply_mat(ops: EngineOps, lay, t, matT):
     VecScatter part of a distributed MatMult, SURVEY §2.3)."""
     if ops.fused and lay.structured:
         from pynama_tpu.ops.fused import fused_apply
+        blk = dict(ops.fused_blocks).get((int(t.shape[1]), lay.nnc))
         y, bnd = fused_apply(t, matT, ops.nelem, ops.ngl, lay.ncomp,
-                             interpret=ops.fused_interpret)
+                             interpret=ops.fused_interpret, block=blk)
         if ops.axis_name is not None:
             nd = jax.lax.axis_size(ops.axis_name)
             if nd > 1:

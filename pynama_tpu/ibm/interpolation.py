@@ -179,7 +179,10 @@ def correction_cg(ops: IBMOps, nodes, w, vel_nodal, body_vel, flux0,
     per step, `immersed_boundary.py:366-385`; the previous fallback here ran
     a host O(sum fanin^2) loop per step for large 3D supports). C is the
     Gram matrix W Wᵀ (SPD), so CG converges fast, and `flux0` warm-starts
-    from the previous step's flux. Returns (vel_correction, flux)."""
+    from the previous step's flux. Returns (vel_correction, flux,
+    (iters, relative_residual)) — the stats let callers detect a stalled
+    solve (CG hitting maxiter leaves the rigid-body constraint silently
+    under-enforced otherwise)."""
     from pynama_tpu.solver.cg import pcg
 
     def A(z):
@@ -191,7 +194,8 @@ def correction_cg(ops: IBMOps, nodes, w, vel_nodal, body_vel, flux0,
     res = pcg(A, rhs, flux0, M_inv=lambda r: r / d, rtol=rtol,
               maxiter=maxiter)
     corr = spread_S(ops, nodes, w, res.x, n_nodes)
-    return corr, res.x
+    relres = res.residual / (jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-300)
+    return corr, res.x, (res.iters, relres)
 
 
 def correction(ops: IBMOps, nodes, w, chol, vel_nodal, body_vel, n_nodes):

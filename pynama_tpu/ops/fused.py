@@ -52,18 +52,84 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: VMEM budget for choosing the axis-0 block size: the kernel keeps ~6
-#: block-sized buffers live (double-buffered in/out + ping-pong scratch)
-_VMEM_BUDGET_BYTES = 12 * 2**20
+#: Scoped-VMEM limit Mosaic enforces per kernel (the round-3 bench crash
+#: was 27.85 MB vs this 16 MB limit at the flagship 24^3 ngl=4 config)
+_VMEM_BUDGET_BYTES = 16 * 2**20
 
 
-def _pick_block(ne0: int, R: int, nnc: int, itemsize: int = 4) -> int:
-    """Largest divisor of ne0 whose block keeps ~6 live copies in budget."""
+def _pick_block(ne0: int, R: int, nnc_in: int, nnc_out: int,
+                itemsize: int = 4) -> int:
+    """Largest divisor of ne0 whose block fits the Mosaic scoped-VMEM
+    stack model.
+
+    The model `bytes(b) = b*R*itemsize*(8*nnc_in + 5*nnc_out)` is CALIBRATED
+    against on-chip v5e compile outcomes at 24^3 ngl=4 f32 (R=576): it
+    exactly separates every observed pass/fail —
+      nnc 192->192: blocks 1,2 compile, 3+ OOM  (model 11.5 / 17.3 MB)
+      nnc 192->384: blocks 1,2 compile, 3+ OOM  (model 15.9 / 23.9 MB)
+      nnc 384->192: block 1 compiles,  2+ OOM  (model  9.3 / 18.6 MB)
+    Input-width buffers dominate (double-buffered DMA + the matmul's
+    operand staging); output-width buffers are the roll-chain temporaries.
+    The model is a heuristic; `probe_block` (a real compile on the target
+    backend) is the authority and falls back to smaller blocks."""
     best = 1
     for b in range(1, ne0 + 1):
-        if ne0 % b == 0 and 6 * b * R * nnc * itemsize <= _VMEM_BUDGET_BYTES:
+        if ne0 % b == 0 and b * R * itemsize * (8 * nnc_in + 5 * nnc_out) \
+                <= _VMEM_BUDGET_BYTES:
             best = b
     return best
+
+
+#: probe results: (ne0, R, nnc_in, nnc_out, itemsize) -> block (0 = even
+#: block=1 fails to compile; caller must turn the fused path off)
+_PROBE_CACHE: dict = {}
+
+
+def _probe_compile(nelem, ngl, nnc_in, ncomp_out, dtype, block):
+    """AOT-compile fused_apply at the given block on the default backend;
+    raises on compile failure (e.g. Mosaic scoped-VMEM OOM). Split out so
+    tests can monkeypatch the compile step."""
+    dim = len(nelem)
+    E = int(np.prod(nelem))
+    nnc_out = ngl ** dim * ncomp_out
+    t_s = jax.ShapeDtypeStruct((E, nnc_in), dtype)
+    m_s = jax.ShapeDtypeStruct((nnc_in, nnc_out), dtype)
+    fused_apply.lower(t_s, m_s, tuple(nelem), ngl, ncomp_out,
+                      block=block).compile()
+
+
+def probe_block(nelem, ngl, nnc_in, ncomp_out, dtype=jnp.float32) -> int:
+    """Find the largest axis-0 block that ACTUALLY compiles on this
+    backend, starting from the analytic `_pick_block` pick and descending
+    through divisors of ne0. Returns 0 if even block=1 fails (caller
+    disables the fused path). Results are cached per process — one
+    compile per distinct operator shape, amortized across Problems.
+
+    This is the compile-failure guard the round-3 bench lacked: a Pallas
+    kernel can fail in the COMPILER (scoped-VMEM OOM), which no CPU
+    interpret-mode test can catch; the reference's assembled MatMult has
+    no such failure mode (`src/cases/base_problem.py:123-136`), so
+    neither may the default TPU path."""
+    dim = len(nelem)
+    ne0 = int(nelem[0])
+    R = int(np.prod(nelem[1:]))
+    nnc_out = ngl ** dim * ncomp_out
+    dt = jnp.dtype(dtype)
+    key = (ne0, R, int(nnc_in), int(nnc_out), dt.itemsize)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    start = _pick_block(ne0, R, nnc_in, nnc_out, dt.itemsize)
+    cands = [b for b in range(start, 0, -1) if ne0 % b == 0]
+    got = 0
+    for b in cands:
+        try:
+            _probe_compile(nelem, ngl, nnc_in, ncomp_out, dt, b)
+            got = b
+            break
+        except Exception:  # noqa: BLE001 — any compile failure -> descend
+            continue
+    _PROBE_CACHE[key] = got
+    return got
 
 
 def _inblock_axes(nelem_blk: Sequence[int], ngl: int, ncomp: int):
@@ -184,7 +250,7 @@ def fused_apply(t: jax.Array, matT: jax.Array, nelem: tuple, ngl: int,
     nnc_out = ngl ** dim * ncomp_out
     plane = (ngl ** (dim - 1)) * ncomp_out
     dtype = t.dtype
-    blk = _pick_block(ne0, R, max(nnc_in, nnc_out), t.dtype.itemsize) \
+    blk = _pick_block(ne0, R, nnc_in, nnc_out, t.dtype.itemsize) \
         if block is None else int(block)
     if ne0 % blk != 0:
         raise ValueError(f"block {blk} does not divide nelem[0]={ne0}")
@@ -219,6 +285,16 @@ def fused_apply(t: jax.Array, matT: jax.Array, nelem: tuple, ngl: int,
             pltpu.VMEM((2, Rb, nnc_out), dtype),
             pltpu.VMEM((R, plane), dtype),
         ],
+        # raise Mosaic's scoped-VMEM stack limit (default 16 MB) to what
+        # this block size actually needs: the kernel's measured stack is
+        # ~(5 MB + per-block roll-chain temporaries), and v5e has 128 MB
+        # of VMEM — the default limit, not capacity, is what crashed the
+        # round-3 bench. 2x-margined model, capped well under capacity.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(32 * 2**20,
+                    2 * Rb * t.dtype.itemsize * (8 * nnc_in + 5 * nnc_out)),
+                100 * 2**20)),
         interpret=interpret,
     )(t, matT)
     return out, bnd

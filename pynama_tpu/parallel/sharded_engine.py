@@ -118,8 +118,21 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
         fs_out.append(dataclasses.replace(
             fs, rows=jnp.asarray(rws), coords=jnp.asarray(cds)))
 
+    # fused-kernel blocks are keyed to the axis-0 extent: re-probe at the
+    # LOCAL slab size (cached per shape, so this is at most one compile
+    # per new shape); in interpret mode the analytic default suffices
+    fused = ops.fused
+    fblocks = ()
+    if ops.fused and structured and not ops.fused_interpret:
+        fblocks = E.probe_fused_blocks(
+            local_nelem, ops.ngl, ops.dim, ops.dim_w, ops.dim_s,
+            ops.free_main.dtype)
+        if fblocks is None:
+            fused, fblocks = False, ()
+
     return dataclasses.replace(
         ops,
+        fused=fused, fused_blocks=fblocks,
         KT=mat(ops.KT), RwT=mat(ops.RwT), curlT=mat(ops.curlT),
         srtT=mat(ops.srtT), divT=mat(ops.divT),
         lay_v=relay(ops.lay_v), lay_w=relay(ops.lay_w),

@@ -194,6 +194,13 @@ def _overrides(args, skip_ngl=False):
         kw["pc"] = args.pc
     if get("ndev"):
         kw["ndev"] = args.ndev
+    # engine toggles (Options-DB parity: every solver knob CLI-reachable)
+    if get("fused") is not None:
+        kw["fused"] = {"on": True, "off": False}[args.fused]
+    if get("fused_block") is not None:
+        kw["fused_block"] = args.fused_block
+    if get("sumfact") is not None:
+        kw["sumfact"] = {"on": True, "off": False}[args.sumfact]
     return kw
 
 
@@ -222,6 +229,17 @@ def main(argv=None):
                     help="KLE Krylov max iterations")
     ap.add_argument("-pc", default=None, choices=["jacobi", "schwarz", "fdm"],
                     help="KLE preconditioner")
+    ap.add_argument("-fused", default=None, choices=["on", "off"],
+                    help="fused matmul+DSS Pallas kernel on box meshes "
+                         "(default: on when running on TPU, with a "
+                         "compile-probed block size)")
+    ap.add_argument("-fused-block", dest="fused_block", type=int,
+                    default=None,
+                    help="force the fused kernel's axis-0 block "
+                         "(skips the compile probe)")
+    ap.add_argument("-sumfact", default=None, choices=["on", "off"],
+                    help="sum-factorized K on unstructured meshes "
+                         "(default: on)")
     # TS tuning — the reference's -ts_* passthrough analog
     ap.add_argument("-rtol", type=float, default=None,
                     help="adaptive-RK relative tolerance")

@@ -40,6 +40,36 @@ def random_state(p):
     return vort, vel
 
 
+def sharded_transient_global(nproc: int, n_steps=3):
+    """Run a whole N-step adaptive transient across the global device mesh
+    — every process executes the identical host-side stepping loop on
+    replicated scalars (dt control), and each accepted step runs the full
+    two-stage KLE CG (cross-process psum dots every iteration). This is
+    the reference's whole-cavity `mpiexec -n N` reality (makefile:2-7),
+    not a single RHS."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pynama_tpu.cases import Problem
+    from pynama_tpu.parallel import ShardedEngine
+
+    cfg = cavity_config()
+    cfg["time-solver"]["max-steps"] = n_steps
+    p = Problem(cfg, solver="cg", cg_rtol=1e-12, cg_maxiter=3000)
+    p.setUp()
+    se = ShardedEngine(p, ndev=nproc, devices=jax.devices())
+    vort_s, vel_s = se.shard_state(np.asarray(p.vort), np.asarray(p.vel))
+    t, vort_s, vel_s, steps = se.start_solver(
+        vort_s, vel_s, p.start_time, p.end_time, n_steps,
+        dt0=1e-3, atol=1e-6, rtol=1e-6, tableau="5bs")
+
+    rep = jax.jit(lambda x: x, out_shardings=NamedSharding(se.mesh, P()))
+    w = np.asarray(rep(vort_s).addressable_data(0))
+    v = np.asarray(rep(vel_s).addressable_data(0))
+    w_g = p.to_global(w.reshape(-1, w.shape[-1]), p.dim_w)
+    v_g = p.to_global(v.reshape(-1, v.shape[-1]), p.dim)
+    return t, steps, w_g, v_g
+
+
 def sharded_rhs_global(nproc: int):
     """Build the problem, evaluate one sharded RHS over all global devices,
     and return the (host-replicated) global-layout results."""
@@ -71,6 +101,7 @@ def sharded_rhs_global(nproc: int):
 def main():
     coord, nproc, pid, out_path = (sys.argv[1], int(sys.argv[2]),
                                    int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "rhs"
     from pynama_tpu.parallel.multihost import initialize, is_primary
 
     info = initialize(coordinator_address=coord, num_processes=nproc,
@@ -79,9 +110,14 @@ def main():
     assert info["global_devices"] == nproc, info
     assert info["local_devices"] == 1, info
 
-    f_g, v_g = sharded_rhs_global(nproc)
-    if is_primary():
-        np.savez(out_path, f=f_g, v=v_g)
+    if mode == "transient":
+        t, steps, w_g, v_g = sharded_transient_global(nproc)
+        if is_primary():
+            np.savez(out_path, t=t, steps=steps, w=w_g, v=v_g)
+    else:
+        f_g, v_g = sharded_rhs_global(nproc)
+        if is_primary():
+            np.savez(out_path, f=f_g, v=v_g)
     jax.distributed.shutdown()
 
 

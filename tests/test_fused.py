@@ -162,3 +162,82 @@ def test_sharded_fused_equivalence():
     np.testing.assert_allclose(got, np.asarray(ref), rtol=0,
                                atol=1e-8 * float(jnp.max(jnp.abs(ref))
                                                  + 1))
+
+
+# ---------------------------------------------------------------------------
+# compile-probe fallback (VERDICT r3 #1: a block that fails Mosaic's
+# scoped-VMEM check must degrade, never ship)
+# ---------------------------------------------------------------------------
+
+def test_pick_block_returns_divisor():
+    from pynama_tpu.ops.fused import _pick_block
+    for ne0 in (1, 3, 8, 24):
+        for ci, co in ((192, 192), (192, 384), (384, 192)):
+            b = _pick_block(ne0, 576, ci, co)
+            assert b >= 1 and ne0 % b == 0
+
+
+def test_probe_block_descends_on_compile_failure(monkeypatch):
+    """probe_block must fall back through smaller divisors when the
+    compile fails (the round-3 VMEM OOM scenario), and report 0 when
+    even block=1 cannot compile."""
+    from pynama_tpu.ops import fused as F
+
+    calls = []
+
+    def fake_compile(nelem, ngl, nnc_in, ncomp_out, dtype, block):
+        calls.append(block)
+        if block > 1:
+            raise RuntimeError("Scoped allocation exceeded (simulated)")
+
+    monkeypatch.setattr(F, "_probe_compile", fake_compile)
+    monkeypatch.setattr(F, "_PROBE_CACHE", {})
+    b = F.probe_block((24, 24, 24), 4, 192, 3)
+    assert b == 1
+    assert calls[0] > 1 and calls[-1] == 1     # started high, descended
+    # cached: no new compile calls
+    n = len(calls)
+    assert F.probe_block((24, 24, 24), 4, 192, 3) == 1 and len(calls) == n
+
+    monkeypatch.setattr(F, "_PROBE_CACHE", {})
+    monkeypatch.setattr(F, "_probe_compile",
+                        lambda *a: (_ for _ in ()).throw(RuntimeError()))
+    assert F.probe_block((24, 24, 24), 4, 192, 3) == 0
+
+
+def test_probe_fused_blocks_disables_on_total_failure(monkeypatch):
+    """build_engine's shape sweep returns None (-> fused off) when any
+    shape fails even at block=1, and honors a forced block."""
+    from pynama_tpu.engine import local_engine as E
+    from pynama_tpu.ops import fused as F
+
+    monkeypatch.setattr(F, "probe_block", lambda *a, **k: 0)
+    assert E.probe_fused_blocks((24, 24, 24), 4, 3, 3, 6,
+                                jnp.float32) is None
+
+    monkeypatch.setattr(F, "probe_block", lambda *a, **k: 2)
+    got = E.probe_fused_blocks((24, 24, 24), 4, 3, 3, 6, jnp.float32)
+    assert dict(got) == {(192, 192): 2, (192, 384): 2, (384, 192): 2}
+
+    forced = E.probe_fused_blocks((24, 24, 24), 4, 3, 3, 6, jnp.float32,
+                                  forced_block=3)
+    assert all(b == 3 for _, b in forced)
+
+
+def test_engine_uses_probed_blocks():
+    """_apply_mat routes the per-shape block from ops.fused_blocks into
+    fused_apply (interpret mode), and the result still matches jnp."""
+    from pynama_tpu.engine import local_engine as E
+    p = _tiny_problem(fused=True)
+    ops = p.engine_ops
+    nv = ops.ngl ** ops.dim * ops.dim
+    ns = ops.ngl ** ops.dim * ops.dim_s
+    ops_b = dataclasses.replace(
+        ops, fused_blocks=(((nv, nv), 2), ((nv, ns), 1), ((ns, nv), 1),))
+    rng = np.random.default_rng(9)
+    v = jnp.asarray(p.to_local(rng.standard_normal(
+        (p.mesh.n_nodes, p.dim))), dtype=p.dtype)
+    a = E.apply_K(ops, v)
+    b = E.apply_K(ops_b, v)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                               atol=1e-8 * float(jnp.max(jnp.abs(a)) + 1))

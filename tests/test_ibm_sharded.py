@@ -46,9 +46,10 @@ def test_correction_cg_matches_cholesky():
     bv = jnp.asarray(rng.standard_normal((body.n_nodes, 2)))
     corr_ref, flux_ref = I.correction(ops, nodes, w, chol, vel, bv,
                                       n_nodes=mesh.n_nodes)
-    corr_cg, flux_cg = I.correction_cg(
+    corr_cg, flux_cg, stats = I.correction_cg(
         ops, nodes, w, vel, bv, jnp.zeros_like(bv),
         n_nodes=mesh.n_nodes, rtol=1e-13)
+    assert float(stats[1]) < 1e-10          # converged, and observable
     np.testing.assert_allclose(np.asarray(flux_cg), np.asarray(flux_ref),
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(corr_cg), np.asarray(corr_ref),

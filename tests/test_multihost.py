@@ -20,15 +20,18 @@ WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 
 
 def _free_port():
+    """Reserve a port and KEEP the socket open (SO_REUSEADDR) so another
+    process cannot grab it between discovery and the coordinator's bind —
+    the plain bind/close/handoff pattern is a TOCTOU race under parallel
+    test runs. Caller closes the socket just before spawning workers."""
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+    return s, s.getsockname()[1]
 
 
 def test_two_process_rhs_matches_single():
-    port = _free_port()
+    holder, port = _free_port()
     coord = f"127.0.0.1:{port}"
     out = tempfile.NamedTemporaryFile(suffix=".npz", delete=False).name
 
@@ -36,6 +39,7 @@ def test_two_process_rhs_matches_single():
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # each process must see exactly ONE cpu device
     env.pop("XLA_FLAGS", None)
+    holder.close()   # released as late as possible (see _free_port)
     procs = [subprocess.Popen(
         [sys.executable, WORKER, coord, "2", str(pid), out],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
@@ -63,4 +67,50 @@ def test_two_process_rhs_matches_single():
 
     np.testing.assert_allclose(got["f"], f_ref, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(got["v"], v_ref, rtol=1e-10, atol=1e-11)
+    os.unlink(out)
+
+
+def test_two_process_transient_matches_single():
+    """A WHOLE 3-step adaptive transient across 2 OS processes — every
+    accepted step runs the two-stage KLE CG with cross-process psum dots,
+    and the adaptive-dt control loop stays in lockstep on replicated
+    scalars — matches the single-process sharded trajectory (the
+    reference bar: whole cavity runs under mpiexec -n 4, makefile:2-7)."""
+    holder, port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    out = tempfile.NamedTemporaryFile(suffix=".npz", delete=False).name
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    holder.close()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, coord, "2", str(pid), out, "transient"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (p.returncode, se.decode()[-3000:])
+
+    got = np.load(out)
+    assert int(got["steps"]) == 3
+
+    # single-process reference: the same transient on the local engine
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from pynama_tpu.cases import Problem
+    from multihost_worker import cavity_config
+
+    cfg = cavity_config()
+    cfg["time-solver"]["max-steps"] = 3
+    p1 = Problem(cfg, solver="cg", cg_rtol=1e-12, cg_maxiter=3000)
+    p1.setUp()
+    t1, steps1 = p1.start_solver(dt0=1e-3, atol=1e-6, rtol=1e-6,
+                                 tableau="5bs")
+    assert steps1 == 3
+    np.testing.assert_allclose(float(got["t"]), t1, rtol=1e-12)
+    np.testing.assert_allclose(got["w"], np.asarray(p1.vort),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(got["v"], np.asarray(p1.vel),
+                               rtol=1e-8, atol=1e-9)
     os.unlink(out)
