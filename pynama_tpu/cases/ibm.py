@@ -108,10 +108,12 @@ class ImmersedBoundaryStatic(Problem):
         stepper.dt = float(dt0)
 
         # initial condition (computeInitialCondition,
-        # immersed_boundary.py:131-141)
+        # immersed_boundary.py:131-141) — through _per_step_correction:
+        # the reference's dynamic override updates the body kinematics at
+        # t0 there too (immersed_boundary.py:366-368 called from :140)
         t = self.start_time
         vort, vel = self.solve_kle(self.vort, self.vel, t)
-        vel, flux = self.velocity_correction(vel, t)
+        vel, flux = self._per_step_correction(vel, t)
         vort = self.operator.curl(vel)
 
         hist = {"times": [], "cd": [], "cl": [], "dt": [], "steps": [],
@@ -167,13 +169,13 @@ class ImmersedBoundaryStatic(Problem):
 
         from pynama_tpu.engine import local_engine as E
         from pynama_tpu.ibm.sharded import (build_ibm_shard_tables,
-                                            correction_local)
+                                            build_node_slot_map,
+                                            correction_cg_local,
+                                            correction_local,
+                                            dynamic_tables_local)
         from pynama_tpu.parallel import ShardedEngine
         from pynama_tpu.parallel.sharded_engine import AXIS
 
-        if self.body.is_moving:
-            raise NotImplementedError(
-                "-ndev with a dynamic (moving) body is not supported yet")
         if dt0 is None:
             dt0 = (self.end_time - self.start_time) / (10 * self.max_steps)
         save_every = int(self.config.get("save-n-steps", 10))
@@ -183,36 +185,91 @@ class ImmersedBoundaryStatic(Problem):
                            overlap_dss=bool(self.opts.get("overlap_dss",
                                                           False)))
         sh = NamedSharding(se.mesh, P(AXIS))
-        slots, gw, sw = build_ibm_shard_tables(
-            self.mesh, self.nodes_tab, self.w_tab, ndev)
-        slots = jax.device_put(jnp.asarray(slots), sh)
-        gw = jax.device_put(jnp.asarray(gw, dtype=self.dtype), sh)
-        sw = jax.device_put(jnp.asarray(sw, dtype=self.dtype), sh)
         L = self.body.n_nodes
-        chol = jax.device_put(
-            jnp.broadcast_to(self.chol[None], (ndev, L, L)), sh)
         scale = float(self.ibm_ops.dl * self.ibm_ops.h)
-        body_vel = jnp.asarray(self.body.velocities(), dtype=self.dtype)
+        dyn = self.body.is_moving
 
-        def _accept(ops_s, sl, g, s, ch, bv, t, vort, vel):
-            """solve KLE + correct velocity + re-derive vorticity, on one
-            shard (the sharded form of the single-device accepted-step
-            chain above)."""
-            ops = jax.tree.map(lambda x: x[0], ops_s)
-            vort2, vel2 = E.solve_kle_local(ops, vort[0], vel[0], t)
-            vel2, flux = correction_local(sl[0], g[0], s[0], ch[0], scale,
-                                          vel2, bv, AXIS)
-            vort2 = E.curl(ops, vel2)
-            return vort2[None], vel2[None], flux
+        if not dyn:
+            slots, gw, sw = build_ibm_shard_tables(
+                self.mesh, self.nodes_tab, self.w_tab, ndev)
+            slots = jax.device_put(jnp.asarray(slots), sh)
+            gw = jax.device_put(jnp.asarray(gw, dtype=self.dtype), sh)
+            sw = jax.device_put(jnp.asarray(sw, dtype=self.dtype), sh)
+            chol = jax.device_put(
+                jnp.broadcast_to(self.chol[None], (ndev, L, L)), sh)
+            body_vel = jnp.asarray(self.body.velocities(),
+                                   dtype=self.dtype)
 
-        accept_sm = jax.jit(jax.shard_map(
-            _accept, mesh=se.mesh,
-            in_specs=(se._spec_ops, P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                      P(), P(), P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS), P()), check_vma=False))
+            def _accept(ops_s, sl, g, s, ch, bv, t, vort, vel):
+                """solve KLE + correct velocity + re-derive vorticity, on
+                one shard (the sharded form of the single-device
+                accepted-step chain above)."""
+                ops = jax.tree.map(lambda x: x[0], ops_s)
+                vort2, vel2 = E.solve_kle_local(ops, vort[0], vel[0], t)
+                vel2, flux = correction_local(sl[0], g[0], s[0], ch[0],
+                                              scale, vel2, bv, AXIS)
+                vort2 = E.curl(ops, vel2)
+                return vort2[None], vel2[None], flux
 
-        def accept(ops_s, sl, g, s, ch, t, vort, vel):
-            return accept_sm(ops_s, sl, g, s, ch, body_vel, t, vort, vel)
+            accept_sm = jax.jit(jax.shard_map(
+                _accept, mesh=se.mesh,
+                in_specs=(se._spec_ops, P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                          P(), P(), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS), P()), check_vma=False))
+
+            def accept(t, vort, vel):
+                return accept_sm(se.ops_s, slots, gw, sw, chol, body_vel,
+                                 t, vort, vel)
+        else:
+            # MOVING body under domain decomposition (VERDICT r3 #7): the
+            # per-step support-table rebuild runs IN-JIT per shard in
+            # local slot ids (position-independent node->slot map +
+            # range test), and the correction is the matrix-free CG with
+            # one psum per C application — the sharded analog of the
+            # single-device dynamic path (reference: dynamic IBM runs
+            # rank-parallel like everything, immersed_boundary.py:286-385)
+            slots_of_np, counts_np = build_node_slot_map(self.mesh, ndev)
+            slots_of = jnp.asarray(slots_of_np)
+            counts = jnp.asarray(counts_np, dtype=self.dtype)
+            nloc = (self.mesh.n_cells // ndev) * self.mesh.nnode_el
+            corr_rtol = 1e-12 if self.dtype == jnp.float64 else 1e-7
+            flux_rep = jnp.zeros((L, self.dim), dtype=self.dtype)
+
+            def _accept_dyn(ops_s, iops, so, cnt, xy, bv, flux0, t,
+                            vort, vel):
+                ops = jax.tree.map(lambda x: x[0], ops_s)
+                vort2, vel2 = E.solve_kle_local(ops, vort[0], vel[0], t)
+                nodes, w = I.support_tables(iops, xy)
+                sl, g, s = dynamic_tables_local(
+                    so, cnt, nodes, w, nloc, jax.lax.axis_index(AXIS))
+                vel2, flux, stats = correction_cg_local(
+                    sl, g, s, scale, vel2, bv, flux0, AXIS,
+                    rtol=corr_rtol)
+                vort2 = E.curl(ops, vel2)
+                return vort2[None], vel2[None], flux, stats
+
+            accept_dyn_sm = jax.jit(jax.shard_map(
+                _accept_dyn, mesh=se.mesh,
+                in_specs=(se._spec_ops, P(), P(), P(), P(), P(), P(),
+                          P(), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS), P(), P()), check_vma=False))
+
+            def accept(t, vort, vel):
+                nonlocal flux_rep
+                self.body.update_parameters(t)
+                xy = jnp.asarray(self.body.coordinates(),
+                                 dtype=self.dtype)
+                self._xy = xy            # _save_step visualization refresh
+                bv = jnp.asarray(self.body.velocities(), dtype=self.dtype)
+                vort, vel, flux_rep, stats = accept_dyn_sm(
+                    se.ops_s, self.ibm_ops, slots_of, counts, xy, bv,
+                    flux_rep, t, vort, vel)
+                relres = float(stats[1])
+                if relres > 10 * corr_rtol:
+                    logger.warning(
+                        "sharded IBM correction CG stalled: %d iters, "
+                        "relres %.2e at t=%g", int(stats[0]), relres, t)
+                return vort, vel, flux_rep
 
         att = se.make_attempt(tableau=tableau, atol=atol, rtol=rtol)
 
@@ -228,8 +285,7 @@ class ImmersedBoundaryStatic(Problem):
         # initial condition: sharded solve + correction + curl
         t = self.start_time
         vort_s, vel_s = se.shard_state(self.vort, self.vel)
-        vort_s, vel_s, flux = accept(se.ops_s, slots, gw, sw, chol, t,
-                                     vort_s, vel_s)
+        vort_s, vel_s, flux = accept(t, vort_s, vel_s)
 
         hist = {"times": [], "cd": [], "cl": [], "dt": [], "steps": [],
                 "elapsedTimes": []}
@@ -240,8 +296,7 @@ class ImmersedBoundaryStatic(Problem):
             t, vort_s, vel_s = stepper.step(t, vort_s, vel_s,
                                             t_max=self.end_time)
             step += 1
-            vort_s, vel_s, flux = accept(se.ops_s, slots, gw, sw, chol, t,
-                                         vort_s, vel_s)
+            vort_s, vel_s, flux = accept(t, vort_s, vel_s)
             dt = stepper.dt
             logger.info("Converged: Step %4d | Time %.4e | DT: %.4e",
                         step, t, dt)

@@ -138,3 +138,29 @@ def test_sharded_static_matches_single(ndev):
     cd1 = np.asarray(p1.history["cd"])
     cd2 = np.asarray(p2.history["cd"])
     np.testing.assert_allclose(cd2, cd1, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("ndev", [8])
+def test_sharded_dynamic_matches_single(ndev):
+    """ibm-dynamic under -ndev matches the single-device dynamic
+    trajectory to 1e-8 (VERDICT r3 #7 done-criterion): the per-step
+    support-table rebuild runs in-jit per shard and the correction is
+    matrix-free CG with psum'd C applications."""
+    cfg = ibm_config(nelem=16, vel="dynamic", max_steps=3)
+    p1 = ImmersedBoundaryDynamic(cfg, solver="cg", cg_rtol=1e-12,
+                                 cg_maxiter=4000)
+    p1.setUp()
+    p1.start_solver(dt0=1e-3)
+
+    p2 = ImmersedBoundaryDynamic(cfg, solver="cg", cg_rtol=1e-12,
+                                 cg_maxiter=4000, ndev=ndev)
+    p2.setUp()
+    p2.start_solver(dt0=1e-3)
+
+    np.testing.assert_allclose(np.asarray(p2.vel), np.asarray(p1.vel),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p2.vort), np.asarray(p1.vort),
+                               rtol=1e-8, atol=1e-8)
+    cd1 = np.asarray(p1.history["cd"])
+    cd2 = np.asarray(p2.history["cd"])
+    np.testing.assert_allclose(cd2, cd1, rtol=1e-6, atol=1e-8)
