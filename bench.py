@@ -263,6 +263,10 @@ def _write_hex_msh(nx, ny, nz, distort=0.0):
 
 def main():
     import jax
+    # persistent compilation cache (see smoke.py: the shared remote
+    # compile service swings 2 s -> >10 min per kernel between windows)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from pynama_tpu.cases import Problem
     from pynama_tpu.engine import local_engine as E
@@ -535,7 +539,7 @@ def main():
 
     # --- KLE solve under the FDM preconditioner (DESIGN.md §4), warm + cold
     t_solve_fdm = t_cold_fdm = None
-    if size in ("default", "large") and time_left() > 150:
+    if size in ("default", "large") and time_left() > 200:
         def fdm_section():
             t1 = time.time()
             p2 = Problem(cfg, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
@@ -558,7 +562,7 @@ def main():
 
     # --- high-order series (BASELINE.md N=6-8 refinement), default run only
     ho = None
-    if size == "default" and time_left() > 90:
+    if size == "default" and time_left() > 150:
         def ho_section():
             cfg_ho = dict(cfg)
             cfg_ho["domain"] = {"ngl": 7, "box-mesh": {

@@ -108,6 +108,15 @@ class LocalLayout:
     #: (PETSc's dynamic scatter-add as a static fixed-fanin reduction)
     incidence: object = None
     cell_nodes: object = None
+    #: sharded unstructured meshes: global node ids on the PARTITION
+    #: INTERFACE (nodes touched by cells of >=2 shards). The cross-shard
+    #: DSS exchange reduces to psum of these rows only — a surface/volume
+    #: payload cut vs all-reducing the full node vector (the
+    #: graph-partitioned halo exchange of docs/ROADMAP.md item 2, in
+    #: all-reduce form; exact because non-interface rows are complete on
+    #: their owner shard and never gathered by any other shard's cells).
+    #: None -> full-vector psum.
+    iface: object = None
     structured: bool = dataclasses.field(default=True,
                                          metadata=dict(static=True))
     #: spatial dim when nelem is just (n_cells,) (unstructured)
@@ -242,7 +251,13 @@ def _dss_gather(layout: LocalLayout, t: jax.Array, axis_name=None
     zf = jnp.concatenate([zf, jnp.zeros((1, c), dtype=zf.dtype)])
     g = zf[layout.incidence].sum(axis=1)              # (n_nodes, c)
     if axis_name is not None:
-        g = jax.lax.psum(g, axis_name)
+        if layout.iface is not None:
+            # exchange only the partition-interface rows (see the
+            # LocalLayout.iface docstring for why this is exact)
+            gi = jax.lax.psum(g[layout.iface], axis_name)
+            g = g.at[layout.iface].set(gi)
+        else:
+            g = jax.lax.psum(g, axis_name)
     return g[layout.cell_nodes].reshape(E, nn * c)
 
 

@@ -70,10 +70,22 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
             lo, hi = d * E_loc * nn, (d + 1) * E_loc * nn
             m = (inc >= lo) & (inc < hi)
             incs[d][m] = (inc[m] - lo).astype(np.int32)
+        # partition-interface nodes: touched by cells of >=2 shards; the
+        # cross-shard DSS psums ONLY these rows (surface/volume payload
+        # cut — ops/local.py LocalLayout.iface)
+        cn = np.asarray(lay.cell_nodes)
+        n_nodes = inc.shape[0]
+        shard_of = np.repeat(np.arange(ndev), E_loc * nn)
+        smin = np.full(n_nodes, ndev, dtype=np.int64)
+        smax = np.full(n_nodes, -1, dtype=np.int64)
+        np.minimum.at(smin, cn.ravel(), shard_of)
+        np.maximum.at(smax, cn.ravel(), shard_of)
+        iface = np.where(smax > smin)[0].astype(np.int32)
         return dataclasses.replace(
             lay, inv_mult=split(lay.inv_mult),
             incidence=jnp.asarray(incs),
             cell_nodes=split(lay.cell_nodes),
+            iface=bcast(jnp.asarray(iface)),
             nelem=(E_loc,))
 
     def mat(x):            # element matrices: shared (2D) or batched (3D)

@@ -28,6 +28,11 @@ def stage(name, t0):
 
 def main():
     import jax
+    # persistent compilation cache: repeated smoke/bench runs must not
+    # re-pay remote compiles (observed: the shared compile service swings
+    # from 2 s to >10 min per kernel between windows)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from pynama_tpu.cases import Problem
     from pynama_tpu.engine import local_engine as E

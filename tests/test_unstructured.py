@@ -310,3 +310,63 @@ def test_sharded_unstructured_transient(tmp_path):
     assert steps == steps1
     npt.assert_allclose(np.asarray(p2.vort), np.asarray(p1.vort),
                         rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_dss_interface_exchange(tmp_path):
+    """The cross-shard unstructured DSS exchanges ONLY the partition-
+    interface rows (ROADMAP #2's halo exchange, in all-reduce form):
+    iface is a small surface subset, and the restricted exchange is
+    bit-identical to the full-vector psum."""
+    import dataclasses as dc
+
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from pynama_tpu.ops import local as L
+    from pynama_tpu.parallel.sharded_engine import (AXIS, ShardedEngine)
+
+    v, q, l = grid_quad_mesh(8, 8, distort=0.1)   # 64 cells -> 8 shards
+    path = str(tmp_path / "i.msh")
+    write_msh22(path, v, q, l)
+    cfg = unstruct_config(path, 3, TG_BC)
+    p = Problem(cfg, solver="cg", engine=True)
+    p.setUp()
+    ndev = 8
+    sk = ShardedEngine(p, ndev)
+    lay_s = sk.ops_s.lay_v
+    iface = np.asarray(lay_s.iface[0])
+    n_nodes = p.mesh.n_nodes
+    # a surface subset: for an 8-slab split of an 8x8 quad grid the
+    # interfaces are 7 mesh lines -> well under half the nodes
+    assert 0 < iface.size < 0.5 * n_nodes
+    # every interface node really is shared between >=2 shards, and no
+    # shared node is missing
+    cn = np.asarray(p.mesh.cell_nodes)
+    E = cn.shape[0]
+    shard_of = np.repeat(np.arange(ndev), E // ndev)
+    shared = np.zeros(n_nodes, bool)
+    for nd in range(n_nodes):
+        s = np.unique(shard_of[np.where((cn == nd).any(axis=1))[0]])
+        shared[nd] = s.size >= 2
+    npt.assert_array_equal(np.sort(iface), np.where(shared)[0])
+
+    # restricted exchange == full psum, bit-identical
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(p.to_local(rng.standard_normal((n_nodes, 2))))
+    t_s = t.reshape(ndev, -1, t.shape[-1])
+    mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+    lay_full = dc.replace(lay_s, iface=None)
+
+    def run(lay):
+        def body(lay, ts):
+            l0 = jax.tree.map(lambda x: x[0], lay)
+            return L.dss(l0, ts[0], axis_name=AXIS)[None]
+        f = jax.shard_map(
+            body, mesh=mesh, in_specs=(jax.tree.map(lambda _: P(AXIS),
+                                                    lay), P(AXIS)),
+            out_specs=P(AXIS), check_vma=False)
+        return np.asarray(f(lay, t_s))
+
+    got = run(lay_s)
+    want = run(lay_full)
+    npt.assert_array_equal(got, want)
