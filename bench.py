@@ -411,7 +411,19 @@ def main():
         # the compile-probe in build_engine should make this unreachable;
         # belt-and-braces: fall back to the jnp path and keep benching
         ops = _dc.replace(ops, fused=False)
-        res = timed_slope(k_chain, ops, v, n1=400, reps=7, target_s=1.0)
+        res = guard("k_apply_fallback", timed_slope, k_chain, ops, v,
+                    n1=400, reps=7, target_s=1.0)
+    if res is None:
+        # nothing timeable at all: emit what we recorded and stop — the
+        # errors list (the root cause) must survive into the artifact
+        print(json.dumps({
+            "metric": "spmv_effective_gnnz_per_s", "value": 0.0,
+            "unit": "GNNZ/s", "vs_baseline": 0.0,
+            "detail": {"setup_s": round(setup_s, 1),
+                       "setup_phases_s": {k: round(v2, 2) for k, v2
+                                          in p.setup_phases.items()},
+                       "fused": bool(ops.fused), "errors": errors}}))
+        return
     t_apply, t_call = res
     gnnz_s = nnz / t_apply / 1e9
     log(f"K apply (fused={ops.fused}): {t_apply*1e6:.1f} us "

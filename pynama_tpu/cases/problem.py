@@ -213,6 +213,15 @@ class Problem:
         from pynama_tpu.engine import build_engine
         cfg = get_config()
         eo = self._eo
+        # sharded runs compile-probe fused blocks at the LOCAL slab size
+        # (the global-shape probes would be pure wasted compiles — the
+        # sharded rebuild re-probes at local shapes anyway, cache-shared)
+        ndev = int(self.opts.get("ndev", 1))
+        probe_nelem = None
+        if ndev > 1 and getattr(self.mesh, "is_box", False) \
+                and self.mesh.nelem[0] % ndev == 0:
+            probe_nelem = (self.mesh.nelem[0] // ndev,) \
+                + tuple(self.mesh.nelem[1:])
         self.engine_ops = build_engine(
             self.mesh, self.bc, em_K=self._em.K, em_Rw=self._em.Rw,
             op_curl=eo.Curl, op_srt=eo.SrT, op_div=eo.DivSrT,
@@ -231,7 +240,8 @@ class Problem:
             krylov="gmres" if self.solver_method == "gmres" else "cg",
             fused=self.opts.get("fused"),
             fused_block=self.opts.get("fused_block"),
-            sumfact=self.opts.get("sumfact"), basis=self.basis)
+            sumfact=self.opts.get("sumfact"), basis=self.basis,
+            probe_nelem=probe_nelem)
 
     # ------------------------------------------------- local layout shuttles
     def to_local(self, x):

@@ -156,6 +156,11 @@ class EngineOps:
     #: scoped-VMEM check can never reach a production run.
     fused_blocks: tuple = dataclasses.field(default=(),
                                             metadata=dict(static=True))
+    #: user-forced block (-fused-block N): carried so the sharded rebuild
+    #: honors it instead of re-probing (the CLI escape hatch must work
+    #: under -ndev too)
+    fused_block_forced: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def n_cells(self):
@@ -227,7 +232,7 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                  rho, mu, dtype, cg_rtol=1e-12, cg_atol=0.0,
                  cg_maxiter=2000, pc="jacobi", krylov="cg",
                  fused=None, fused_block=None, sumfact=None,
-                 basis=None) -> EngineOps:
+                 basis=None, probe_nelem=None) -> EngineOps:
     """Assemble the EngineOps pytree from setup-time numpy data.
 
     em_*/op_* are the dense element matrices from `elements/kle.py`
@@ -332,7 +337,11 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
     # assembled MatMult never fails to run, base_problem.py:123-136).
     _fblocks = ()
     if _fused and _plat == "tpu":
-        nelem_box = tuple(getattr(mesh, "nelem", ()))
+        # probe_nelem: a sharded run probes at the LOCAL slab size so the
+        # sharded rebuild's probe hits the cache (a local block divides
+        # the global ne0 too, so the global engine can share the picks)
+        nelem_box = tuple(probe_nelem) if probe_nelem is not None \
+            else tuple(getattr(mesh, "nelem", ()))
         _fblocks = probe_fused_blocks(nelem_box, mesh.ngl, dim, dim_w,
                                       dim_s, npdt,
                                       forced_block=fused_block)
@@ -383,7 +392,8 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
         # structured meshes (one HBM pass per operator application);
         # explicit fused=True on CPU runs it in interpret mode (tests)
         fused=_fused, fused_interpret=_fused and _plat != "tpu",
-        fused_blocks=_fblocks)
+        fused_blocks=_fblocks,
+        fused_block_forced=None if fused_block is None else int(fused_block))
 
 
 # ---------------------------------------------------------------------------

@@ -71,10 +71,21 @@ def _pick_block(ne0: int, R: int, nnc_in: int, nnc_out: int,
     Input-width buffers dominate (double-buffered DMA + the matmul's
     operand staging); output-width buffers are the roll-chain temporaries.
     The model is a heuristic; `probe_block` (a real compile on the target
-    backend) is the authority and falls back to smaller blocks."""
+    backend) is the authority and falls back to smaller blocks.
+
+    Among fitting blocks, the pick targets ~0.5-1K rows per grid step:
+    interleaved on-chip timing at 24^3 ngl=4 (R=576, min over 10 rounds
+    of 3000-apply chains) measured block=1 (576 rows) at 112.8 us vs
+    block=2 at 146.8 us and block=4 at 150.3 us — large blocks raise
+    VMEM pressure and lose pipelining; small meshes (R=64) DO need
+    multi-slice blocks to feed the MXU full-height tiles."""
     best = 1
     for b in range(1, ne0 + 1):
-        if ne0 % b == 0 and b * R * itemsize * (8 * nnc_in + 5 * nnc_out) \
+        if ne0 % b != 0:
+            continue
+        if b > 1 and b * R > 1024:
+            continue
+        if b * R * itemsize * (8 * nnc_in + 5 * nnc_out) \
                 <= _VMEM_BUDGET_BYTES:
             best = b
     return best

@@ -56,6 +56,23 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
     def bcast(x):          # shared data -> (ndev, ...) stacked copies
         return jnp.broadcast_to(x[None], (ndev,) + x.shape)
 
+    # partition-interface nodes (unstructured): touched by cells of >=2
+    # shards; the cross-shard DSS psums ONLY these rows (surface/volume
+    # payload cut — ops/local.py LocalLayout.iface). Layout-independent
+    # (cell_nodes + shard split only), computed ONCE for all 3 layouts.
+    iface_j = None
+    if not structured:
+        cn = np.asarray(ops.lay_v.cell_nodes)
+        nn0 = ops.lay_v.nnode_el
+        n_nodes = np.asarray(ops.lay_v.incidence).shape[0]
+        shard_of_cell = np.repeat(np.arange(ndev), E_loc)
+        smin = np.full(n_nodes, ndev, dtype=np.int64)
+        smax = np.full(n_nodes, -1, dtype=np.int64)
+        so = np.repeat(shard_of_cell, nn0)
+        np.minimum.at(smin, cn.ravel(), so)
+        np.maximum.at(smax, cn.ravel(), so)
+        iface_j = jnp.asarray(np.where(smax > smin)[0].astype(np.int32))
+
     def relay(lay):
         if lay.structured:
             return dataclasses.replace(
@@ -70,22 +87,11 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
             lo, hi = d * E_loc * nn, (d + 1) * E_loc * nn
             m = (inc >= lo) & (inc < hi)
             incs[d][m] = (inc[m] - lo).astype(np.int32)
-        # partition-interface nodes: touched by cells of >=2 shards; the
-        # cross-shard DSS psums ONLY these rows (surface/volume payload
-        # cut — ops/local.py LocalLayout.iface)
-        cn = np.asarray(lay.cell_nodes)
-        n_nodes = inc.shape[0]
-        shard_of = np.repeat(np.arange(ndev), E_loc * nn)
-        smin = np.full(n_nodes, ndev, dtype=np.int64)
-        smax = np.full(n_nodes, -1, dtype=np.int64)
-        np.minimum.at(smin, cn.ravel(), shard_of)
-        np.maximum.at(smax, cn.ravel(), shard_of)
-        iface = np.where(smax > smin)[0].astype(np.int32)
         return dataclasses.replace(
             lay, inv_mult=split(lay.inv_mult),
             incidence=jnp.asarray(incs),
             cell_nodes=split(lay.cell_nodes),
-            iface=bcast(jnp.asarray(iface)),
+            iface=bcast(iface_j),
             nelem=(E_loc,))
 
     def mat(x):            # element matrices: shared (2D) or batched (3D)
@@ -138,7 +144,8 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
     if ops.fused and structured and not ops.fused_interpret:
         fblocks = E.probe_fused_blocks(
             local_nelem, ops.ngl, ops.dim, ops.dim_w, ops.dim_s,
-            ops.free_main.dtype)
+            ops.free_main.dtype,
+            forced_block=ops.fused_block_forced)
         if fblocks is None:
             fused, fblocks = False, ()
 

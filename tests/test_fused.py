@@ -192,17 +192,18 @@ def test_probe_block_descends_on_compile_failure(monkeypatch):
 
     monkeypatch.setattr(F, "_probe_compile", fake_compile)
     monkeypatch.setattr(F, "_PROBE_CACHE", {})
-    b = F.probe_block((24, 24, 24), 4, 192, 3)
+    # (8,8,8) ngl=4: R=64, so the analytic pick is a multi-slice block
+    b = F.probe_block((8, 8, 8), 4, 192, 3)
     assert b == 1
     assert calls[0] > 1 and calls[-1] == 1     # started high, descended
     # cached: no new compile calls
     n = len(calls)
-    assert F.probe_block((24, 24, 24), 4, 192, 3) == 1 and len(calls) == n
+    assert F.probe_block((8, 8, 8), 4, 192, 3) == 1 and len(calls) == n
 
     monkeypatch.setattr(F, "_PROBE_CACHE", {})
     monkeypatch.setattr(F, "_probe_compile",
                         lambda *a: (_ for _ in ()).throw(RuntimeError()))
-    assert F.probe_block((24, 24, 24), 4, 192, 3) == 0
+    assert F.probe_block((8, 8, 8), 4, 192, 3) == 0
 
 
 def test_probe_fused_blocks_disables_on_total_failure(monkeypatch):

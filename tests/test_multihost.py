@@ -20,33 +20,47 @@ WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 
 
 def _free_port():
-    """Reserve a port and KEEP the socket open (SO_REUSEADDR) so another
-    process cannot grab it between discovery and the coordinator's bind —
-    the plain bind/close/handoff pattern is a TOCTOU race under parallel
-    test runs. Caller closes the socket just before spawning workers."""
+    """Pick a currently-free port. Holding the probe socket open only
+    NARROWS the race (another process can still bind between our close
+    and the coordinator's bind inside the worker, seconds later) — the
+    real robustness is `_run_workers` retrying with a fresh port on a
+    bind failure."""
     s = socket.socket()
     s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
-    return s, s.getsockname()[1]
+    port = s.getsockname()[1]
+    s.close()
+    return port
 
 
-def test_two_process_rhs_matches_single():
-    holder, port = _free_port()
-    coord = f"127.0.0.1:{port}"
-    out = tempfile.NamedTemporaryFile(suffix=".npz", delete=False).name
-
+def _run_workers(extra_args, out, attempts=3):
+    """Launch the 2-process jax.distributed job; retry on a lost
+    port-bind race with a fresh port."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # each process must see exactly ONE cpu device
     env.pop("XLA_FLAGS", None)
-    holder.close()   # released as late as possible (see _free_port)
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, "2", str(pid), out],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for pid in range(2)]
-    outs = [p.communicate(timeout=600) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, (p.returncode, se.decode()[-3000:])
+    for attempt in range(attempts):
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(pid), out]
+            + extra_args,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for pid in range(2)]
+        outs = [p.communicate(timeout=600) for p in procs]
+        rcs = [p.returncode for p in procs]
+        if all(rc == 0 for rc in rcs):
+            return
+        stderr = "".join(se.decode()[-3000:] for _, se in outs)
+        bind_race = ("Address already in use" in stderr
+                     or "bind" in stderr.lower())
+        if not (bind_race and attempt + 1 < attempts):
+            raise AssertionError((rcs, stderr))
+
+
+def test_two_process_rhs_matches_single():
+    out = tempfile.NamedTemporaryFile(suffix=".npz", delete=False).name
+    _run_workers([], out)
 
     got = np.load(out)
 
@@ -76,21 +90,8 @@ def test_two_process_transient_matches_single():
     and the adaptive-dt control loop stays in lockstep on replicated
     scalars — matches the single-process sharded trajectory (the
     reference bar: whole cavity runs under mpiexec -n 4, makefile:2-7)."""
-    holder, port = _free_port()
-    coord = f"127.0.0.1:{port}"
     out = tempfile.NamedTemporaryFile(suffix=".npz", delete=False).name
-
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    holder.close()
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, "2", str(pid), out, "transient"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for pid in range(2)]
-    outs = [p.communicate(timeout=600) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, (p.returncode, se.decode()[-3000:])
+    _run_workers(["transient"], out)
 
     got = np.load(out)
     assert int(got["steps"]) == 3
