@@ -82,8 +82,16 @@ def _masked_solve(K_op: ElementOp, Rw_op: ElementOp, sys: KLESystem,
         x = jax.scipy.linalg.cho_solve((sys.chol, True), b.ravel())
         return x.reshape(n, dim)
 
-    def A(v):
+    def A0(v):
+        """Full condensed operator — initial residual only."""
         return free * apply_op(K_op, free * v) + con * v
+
+    def A(v):
+        """In-loop operator: CG loop vectors are exactly zero on the
+        constrained dofs (same invariant as local_engine._masked_solve),
+        so the input mask and `con*v` passthrough are dropped — two fewer
+        HBM passes per iteration, bitwise-identical trajectory."""
+        return free * apply_op(K_op, v)
 
     dmask = free * sys.diag + con
 
@@ -92,11 +100,11 @@ def _masked_solve(K_op: ElementOp, Rw_op: ElementOp, sys: KLESystem,
 
     x0 = free * vel + vc
     if sys.method == "gmres":
-        res = gmres(A, b, x0, M_inv=M_inv, rtol=sys.cg_rtol,
+        res = gmres(A0, b, x0, M_inv=M_inv, rtol=sys.cg_rtol,
                     atol=sys.cg_atol, maxiter=sys.cg_maxiter)
     else:
         res = pcg(A, b, x0, M_inv=M_inv, rtol=sys.cg_rtol, atol=sys.cg_atol,
-                  maxiter=sys.cg_maxiter)
+                  maxiter=sys.cg_maxiter, A0=A0)
     return res.x
 
 
