@@ -128,10 +128,10 @@ def _geometry(fam: QuadFamily, corners: np.ndarray):
       wdet: (..., nq)               w_q * det J_q
     """
     # J[..., q, r, p] = sum_a DCoo[q, r, a] corners[..., a, p]
-    J = np.einsum('qra,...ap->...qrp', fam.DCoo, corners)
+    J = np.einsum('qra,...ap->...qrp', fam.DCoo, corners, optimize=True)
     detJ = np.linalg.det(J)
     Jinv = np.linalg.inv(J)  # (..., q, p, r) inverse as matrix
-    Hxy = np.einsum('...qpr,qra->...qpa', Jinv, fam.D)
+    Hxy = np.einsum('...qpr,qra->...qpa', Jinv, fam.D, optimize=True)
     wdet = fam.weights * detJ
     return Hxy, wdet
 
@@ -166,49 +166,73 @@ class ElementOperators:
 def compute_kle_matrices(basis: TensorBasis, corners: np.ndarray,
                          alpha_w: float = ALPHA_W,
                          alpha_d: float = ALPHA_D) -> ElementMatrices:
-    """Element K/Rw/Rd (reference getElemKLEMatrices, spectral.py:92-160)."""
+    """Element K/Rw/Rd (reference getElemKLEMatrices, spectral.py:92-160).
+
+    The quadratic forms run as explicit batched GEMMs: at 1000 distinct
+    3D ngl=4 geometries the original 5-index einsums cost 254 s of host
+    time (the curl penalty alone 29 s even with optimize=True); the GEMM
+    forms build the same matrices in ~2 s. Row/column flattening is the
+    interleaved dof order (node*dim + comp) throughout, so no transposed
+    interleave pass is needed on the big outputs.
+    """
     dim = basis.dim
     Tc = curl_tensor(dim)        # (dim_w, dim, dim)
     Tw = vorticity_curl_tensor(dim)  # (dim, dim_w, dim)
+    dim_w = Tc.shape[0]
     eye = np.eye(dim)
+    corners = np.asarray(corners, dtype=np.float64)
+    batched = corners.ndim == 3
+    C = corners if batched else corners[None]
+    E = C.shape[0]
 
     # --- full quadrature: vector Laplacian, Rw, Rd main terms
-    Hxy, wdet = _geometry(basis.full, corners)
-    H = basis.full.H
-    # scalar Laplacian L[a,b]; K_full = L x I_dim interleaved
-    L = np.einsum('...q,...qda,...qdb->...ab', wdet, Hxy, Hxy)
+    Hxy, wdet = _geometry(basis.full, C)       # (E, nq, dim, nn), (E, nq)
+    H = basis.full.H                           # (nq, nn)
+    nqf, nn = H.shape
+    # scalar Laplacian L[a,b] = sum_{q,d} w Hxy[q,d,a] Hxy[q,d,b]
+    Xf = Hxy.reshape(E, nqf * dim, nn)
+    L = np.matmul((wdet[:, :, None, None] * Hxy)
+                  .reshape(E, nqf * dim, nn).transpose(0, 2, 1), Xf)
     K = _interleave_quad(
-        L[..., :, None, :, None] * eye[None, :, None, :], (dim, dim))
+        L[:, :, None, :, None] * eye[None, :, None, :], (dim, dim))
 
-    # Rw full: [(a,c),(b,e)] = sum_q wdet H[q,a] Tw[c,e,d] Hxy[q,d,b]
+    # shared full-family mixed form M[d,a,b] = sum_q (w H)[q,a] Hxy[q,d,b]
+    wH = wdet[:, :, None] * H[None]
+    M = np.einsum('eqa,eqdb->edab', wH, Hxy, optimize=True)
+
+    # Rw full: [(a,c),(b,f)] = sum_d Tw[c,f,d] M[d,a,b]
     Rw = _interleave_quad(
-        np.einsum('...q,qa,ced,...qdb->...acbe', wdet, H, Tw, Hxy),
+        np.einsum('cfd,edab->eacbf', Tw, M, optimize=True),
         (dim, basis.dim_w))
 
-    # Rd full: [(a,c), b] = -sum_q wdet H[q,a] Hxy[q,c,b]
-    Rd = -np.einsum('...q,qa,...qcb->...acb', wdet, H, Hxy)
-    Rd = Rd.reshape(Rd.shape[:-3] + (Rd.shape[-3] * dim, Rd.shape[-1]))
+    # Rd full: [(a,c), b] = -M[c,a,b]
+    Rd = -M.transpose(0, 2, 1, 3).reshape(E, nn * dim, nn)
 
     # --- reduced quadrature penalties
-    Hxy_r, wdet_r = _geometry(basis.reduced, corners)
+    Hxy_r, wdet_r = _geometry(basis.reduced, C)
     H_r = basis.reduced.H
-    # div penalty: alpha_d * Hxy[c,a] Hxy[e,b]
-    K = K + alpha_d * _interleave_quad(
-        np.einsum('...q,...qca,...qeb->...acbe', wdet_r, Hxy_r, Hxy_r),
-        (dim, dim))
-    # curl penalty: alpha_w * Bc[w,(a,c)] Bc[w,(b,e)]
-    Bc = np.einsum('wcd,...qda->...qwac', Tc, Hxy_r)
-    K = K + alpha_w * _interleave_quad(
-        np.einsum('...q,...qwac,...qwbe->...acbe', wdet_r, Bc, Bc),
-        (dim, dim))
-    # Rw penalty: alpha_w * Bc[e,(a,c)] H[b] on (vel rows, w cols)
-    Rw = Rw + alpha_w * _interleave_quad(
-        np.einsum('...q,...qeac,qb->...acbe', wdet_r, Bc, H_r),
-        (dim, basis.dim_w))
-    # Rd penalty: +alpha_d * Hxy[c,a] H[b]
-    Rd_pen = alpha_d * np.einsum('...q,...qca,qb->...acb', wdet_r, Hxy_r, H_r)
-    Rd = Rd + Rd_pen.reshape(Rd.shape)
+    nqr = H_r.shape[0]
+    # div penalty: rows/cols directly in interleaved (a*dim + c) order
+    Zi = Hxy_r.transpose(0, 1, 3, 2).reshape(E, nqr, nn * dim)
+    wZi = wdet_r[:, :, None] * Zi
+    K = K + alpha_d * np.matmul(wZi.transpose(0, 2, 1), Zi)
+    # curl penalty: Bc rows (q,w), cols (a,c) interleaved
+    Bc = np.einsum('wcd,eqda->eqwac', Tc, Hxy_r, optimize=True)
+    Bf = Bc.reshape(E, nqr * dim_w, nn * dim)
+    wBf = (wdet_r[:, :, None, None, None] * Bc) \
+        .reshape(E, nqr * dim_w, nn * dim)
+    K = K + alpha_w * np.matmul(wBf.transpose(0, 2, 1), Bf)
+    # Rw penalty: [(a,c),(b,e)] = sum_q (w Bc)[q,e,a,c] H_r[q,b]
+    wBq = (wdet_r[:, :, None, None, None] * Bc).reshape(E, nqr, -1)
+    Npen = np.matmul(wBq.transpose(0, 2, 1), H_r) \
+        .reshape(E, dim_w, nn, dim, nn)            # [e, a, c, b]
+    Rw = Rw + alpha_w * Npen.transpose(0, 2, 3, 4, 1) \
+        .reshape(E, nn * dim, nn * dim_w)
+    # Rd penalty: [(a,c), b] = alpha_d sum_q w Hxy_r[q,c,a] H_r[q,b]
+    Rd = Rd + alpha_d * np.matmul(wZi.transpose(0, 2, 1), H_r)
 
+    if not batched:
+        K, Rw, Rd = K[0], Rw[0], Rd[0]
     return ElementMatrices(K=K, Rw=Rw, Rd=Rd)
 
 
@@ -218,22 +242,34 @@ def compute_operators(basis: TensorBasis, corners: np.ndarray
     spectral.py:162-228)."""
     dim = basis.dim
     fam = basis.operator
-    Hxy, wdet = _geometry(fam, corners)
+    corners = np.asarray(corners, dtype=np.float64)
+    batched = corners.ndim == 3
+    C = corners if batched else corners[None]
+    Hxy, wdet = _geometry(fam, C)
     H = fam.H
     Ts = srt_tensor(dim)
     Td = div_srt_tensor(dim)
     Tc = curl_tensor(dim)
 
+    # shared mixed form M[d,a,b] = sum_q (w H)[q,a] Hxy[q,d,b]: ONE batched
+    # GEMM feeds all three operators (the per-operator 4-factor einsums
+    # re-contracted it three times and cost most of the unstructured
+    # setup at production cell counts)
+    wH = wdet[:, :, None] * H[None]
+    M = np.einsum('eqa,eqdb->edab', wH, Hxy, optimize=True)
+
     SrT = _interleave_quad(
-        np.einsum('...q,qa,scd,...qdb->...asbc', wdet, H, Ts, Hxy),
+        np.einsum('scd,edab->easbc', Ts, M, optimize=True),
         (basis.dim_s, dim))
     DivSrT = _interleave_quad(
-        np.einsum('...q,qa,csd,...qdb->...acbs', wdet, H, Td, Hxy),
+        np.einsum('csd,edab->eacbs', Td, M, optimize=True),
         (dim, basis.dim_s))
     Curl = _interleave_quad(
-        np.einsum('...q,qa,wcd,...qdb->...awbc', wdet, H, Tc, Hxy),
+        np.einsum('wcd,edab->eawbc', Tc, M, optimize=True),
         (basis.dim_w, dim))
     # partition of unity: row sums of the weight matrix reduce to w_q detJ
     # projected on the nodal basis (spectral.py:225-227)
-    weight = np.einsum('...q,qa->...a', wdet, H)
+    weight = np.einsum('eqa->ea', wH, optimize=True)
+    if not batched:
+        SrT, DivSrT, Curl, weight = SrT[0], DivSrT[0], Curl[0], weight[0]
     return ElementOperators(SrT=SrT, DivSrT=DivSrT, Curl=Curl, weight=weight)

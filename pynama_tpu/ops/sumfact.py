@@ -11,19 +11,29 @@ sum-factorized form stores only per-quadrature-point geometry:
     full family:  G[q]  = w_q |J_q| · J_q⁻¹ J_q⁻ᵀ   (dim×dim symmetric)
     reduced:      Jr[q] = J_q⁻¹,  wr[q] = w_q |J_q|
 
-≈ 2.6 KB/element at 3D ngl=4 — 56× less HBM traffic per apply — and applies
-K as per-axis 1D contractions (shared Lagrange tables on the MXU) plus
-pointwise dim×dim contractions (VPU):
+≈ 2.6 KB/element at 3D ngl=4 — 56× less HBM traffic per apply.
 
-    K u = Σ_r D_rᵀ [ G · (D u) ]                         (stiffness)
-        + α_d Σ_r D̃_rᵀ [ Jr wr tr(Jr ∇̃u) ]              (div penalty)
-        + α_w Σ_r D̃_rᵀ [ Jr wr (T·(Jr ∇̃u)) ]            (curl penalty)
+TPU mapping (round 4 — the FLAT-QUADRATURE form): the classic per-axis
+tensor passes (contract one length-N axis at a time with moveaxis
+in between) are TPU-hostile — tiny (N,N) contractions on arrays whose
+trailing dims are N and c, plus a relayout per pass; measured 2731 µs
+per apply at 1000 hexes ngl=4 on a v5e. Instead, ALL reference-space
+gradients come from ONE shared matmul per quadrature family,
 
-where D/D̃ are the full/reduced-family tensor-product derivative operators
-and T the Levi-Civita curl tensor (elements/kle.py curl_tensor). Exactly
-reproduces `elements/kle.py compute_kle_matrices` (same quadrature families,
-reference `src/domain/elements/spectral.py:96-160`); the equivalence against
-the dense per-element K on random distorted meshes is tested in
+    g = z_cm @ Dstack            Dstack: (nn, dim·nq), columns r-major,
+                                 Dstack[:, r·nq+q] = Π_ax A_ax[q_ax, i_ax],
+                                 A_ax = D1d if ax == r else H1d
+
+with z_cm the component-major (E·c, nn) view of the element vector; the
+dim×dim geometry contractions are unrolled pointwise FMAs over (E, c, nq)
+arrays (full f32 on the VPU — note the previous einsum form contracted
+these at DEFAULT matmul precision, a bf16 truncation hazard on TPU); and
+the transposed scatter Σ_r D_rᵀ s_r is one matmul with Dstackᵀ. Four
+shared MXU matmuls total, zero relayout passes.
+
+Exactly reproduces `elements/kle.py compute_kle_matrices` (same quadrature
+families, reference `src/domain/elements/spectral.py:96-160`); equivalence
+against the dense per-element K on random distorted meshes is tested in
 `tests/test_sumfact.py`. Wired into the engine for unstructured meshes
 (engine flag `sumfact`, on by default there — see
 `local_engine.build_engine`).
@@ -47,30 +57,39 @@ _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SumFactK:
-    """Per-element geometric factors + shared 1D tables for one mesh."""
-    #: (E, nqf, dim, dim) full-family  w|J|·J⁻¹J⁻ᵀ  per quad point
-    G: jax.Array
-    #: (E, nqr, dim, dim) reduced-family J⁻¹ (matrix-inverse index order
-    #: [p, r]: ∂u/∂x_p = Σ_r Jr[p,r] ∂u/∂ξ_r)
-    Jr: jax.Array
+    """Per-element geometric factors + shared flat tables for one mesh.
+
+    Per-element arrays (leading E axis — the sharded engine splits these
+    per slab): Gt, Jrt, wr. Shared arrays (broadcast when sharded):
+    Df_flat, Dr_flat, v2cm, cm2v.
+    """
+    #: (E, dim, dim, nqf) full-family w|J|·J⁻¹J⁻ᵀ, Gt[e,r,s,q] (symmetric)
+    Gt: jax.Array
+    #: (E, dim, dim, nqr) reduced-family J⁻¹, Jrt[e,p,r,q]:
+    #: ∂u/∂x_p = Σ_r Jrt[p,r] ∂u/∂ξ_r
+    Jrt: jax.Array
     #: (E, nqr) reduced-family w|J|
     wr: jax.Array
-    #: shared 1D tables: value/derivative of the N nodal Lagrange functions
-    #: at the family's 1D points — (nq1, N) each
-    Hf: jax.Array
-    Df: jax.Array
-    Hr: jax.Array
-    Dr: jax.Array
-    #: curl sign tensor (dim_w, dim, dim)
-    Tc: jax.Array
+    #: stacked flat derivative operators, (nn, dim·nq), columns r-major
+    Df_flat: jax.Array
+    Dr_flat: jax.Array
+    #: column gathers: interleaved (node-major) <-> component-major
+    v2cm: jax.Array
+    cm2v: jax.Array
     dim: int = dataclasses.field(metadata=dict(static=True))
     ngl: int = dataclasses.field(metadata=dict(static=True))
-    #: full family is GLL-nodal (H = identity, skip interpolation passes)
-    nodal_full: bool = dataclasses.field(metadata=dict(static=True))
     alpha_w: float = dataclasses.field(default=ALPHA_W,
                                        metadata=dict(static=True))
     alpha_d: float = dataclasses.field(default=ALPHA_D,
                                        metadata=dict(static=True))
+
+    @property
+    def nqf(self):
+        return self.Gt.shape[-1]
+
+    @property
+    def nqr(self):
+        return self.wr.shape[-1]
 
 
 def _family_geometry(DCoo: np.ndarray, weights: np.ndarray,
@@ -82,16 +101,31 @@ def _family_geometry(DCoo: np.ndarray, weights: np.ndarray,
     return Jinv, weights[None, :] * detJ
 
 
+def _flat_stack(H: np.ndarray, D: np.ndarray, dim: int) -> np.ndarray:
+    """(nn, dim·nq) stacked kron operators, q-major rows (q0 slowest),
+    i-major columns (i0 slowest) — matching the canonical tensor orders
+    of both the element vector and the families' DCoo point grids."""
+    blocks = []
+    for r in range(dim):
+        M = np.ones((1, 1))
+        for ax in range(dim):
+            M = np.kron(M, D if ax == r else H)
+        blocks.append(M.T)                       # (nn, nq)
+    return np.concatenate(blocks, axis=1)        # (nn, dim*nq)
+
+
 def build_sumfact(basis, corners: np.ndarray, dtype,
                   alpha_w: float = ALPHA_W,
                   alpha_d: float = ALPHA_D) -> SumFactK:
     """SumFactK from a TensorBasis and (E, 2**dim, dim) corner coords."""
     dim, ngl = basis.dim, basis.ngl
+    nn = ngl ** dim
     corners = np.asarray(corners, dtype=np.float64)
     if corners.ndim == 2:
         corners = corners[None]
 
     Jf, wf = _family_geometry(basis.full.DCoo, basis.full.weights, corners)
+    # G[e,q,r,s] = w|J| Σ_p Jinv[p,r] Jinv[p,s] -> transpose q last
     G = np.einsum('eq,eqpr,eqps->eqrs', wf, Jf, Jf)
     Jr, wr = _family_geometry(basis.reduced.DCoo, basis.reduced.weights,
                               corners)
@@ -104,90 +138,101 @@ def build_sumfact(basis, corners: np.ndarray, dtype,
     rq, _ = gauss_points(ngl - 1)
     Hf, Df = lagrange_basis(nodes1d, fq)
     Hr, Dr = lagrange_basis(nodes1d, rq)
-    nodal = bool(np.allclose(Hf, np.eye(ngl), atol=1e-13))
+
+    dst = np.arange(dim * nn)
+    v2cm = ((dst % nn) * dim + dst // nn).astype(np.int32)
+    cm2v = ((dst % dim) * nn + dst // dim).astype(np.int32)
 
     j = lambda a: jnp.asarray(a, dtype=dtype)
     return SumFactK(
-        G=j(G), Jr=j(Jr), wr=j(wr),
-        Hf=j(Hf), Df=j(Df), Hr=j(Hr), Dr=j(Dr),
-        Tc=j(curl_tensor(dim)),
-        dim=dim, ngl=ngl, nodal_full=nodal,
+        Gt=j(np.moveaxis(G, 1, -1)),             # (E, r, s, nqf)
+        Jrt=j(np.moveaxis(Jr, 1, -1)),           # (E, p, r, nqr)
+        wr=j(wr),
+        Df_flat=j(_flat_stack(Hf, Df, dim)),
+        Dr_flat=j(_flat_stack(Hr, Dr, dim)),
+        v2cm=jnp.asarray(v2cm), cm2v=jnp.asarray(cm2v),
+        dim=dim, ngl=ngl,
         alpha_w=float(alpha_w), alpha_d=float(alpha_d))
-
-
-def _axpass(z: jax.Array, A: jax.Array, d: int) -> jax.Array:
-    """Contract tensor axis 1+d of z (E, n0.., c) with A (m, n): the 1D
-    sum-factorization pass. Axis moved to position 1 so the matmul keeps a
-    large trailing flat axis (full MXU lanes)."""
-    z = jnp.moveaxis(z, 1 + d, 1)
-    sh = z.shape
-    y = _mm(A, z.reshape(sh[0], sh[1], -1))
-    y = y.reshape((sh[0], A.shape[0]) + sh[2:])
-    return jnp.moveaxis(y, 1, 1 + d)
-
-
-def _gradients(z, H, D, dim, nodal):
-    """Reference-space gradients at the family's tensor points: list over
-    derivative axis r of (E, nq0.., c) tensors. Shares the axis-0
-    interpolation between the r=1,2 passes."""
-    if nodal:
-        return [_axpass(z, D, r) for r in range(dim)]
-    if dim == 2:
-        t0 = _axpass(z, H, 0)
-        return [_axpass(_axpass(z, D, 0), H, 1), _axpass(t0, D, 1)]
-    t0 = _axpass(z, H, 0)
-    g0 = _axpass(_axpass(_axpass(z, D, 0), H, 1), H, 2)
-    g1 = _axpass(_axpass(t0, D, 1), H, 2)
-    g2 = _axpass(_axpass(t0, H, 1), D, 2)
-    return [g0, g1, g2]
-
-
-def _gradients_t(s_list, H, D, dim, nodal):
-    """Transpose of _gradients: scatter per-axis cotangents back to nodes
-    (Σ_r D_rᵀ s_r). Per-axis transforms commute, so each term applies the
-    transposed tables in any order."""
-    Ht, Dt = H.T, D.T
-    out = None
-    for r, s in enumerate(s_list):
-        y = s
-        for ax in range(dim):
-            if nodal and ax != r:
-                continue
-            y = _axpass(y, Dt if ax == r else Ht, ax)
-        out = y if out is None else out + y
-    return out
 
 
 def apply_sumfact_k(sf: SumFactK, t: jax.Array) -> jax.Array:
     """y = t @ K_eᵀ per element, (E, nnode·dim) -> (E, nnode·dim): the
     un-assembled element product (caller DSSes, as with the dense path)."""
     dim, N = sf.dim, sf.ngl
+    nn = N ** dim
     E = t.shape[0]
-    z = t.reshape((E,) + (N,) * dim + (dim,))
+    nqf, nqr = sf.nqf, sf.nqr
+    Tc = curl_tensor(dim)                         # host numpy, static
+    dim_w = Tc.shape[0]
 
-    # ---- stiffness (full family): Σ_r D_rᵀ [G · ∇̂u]
-    g = _gradients(z, sf.Hf, sf.Df, dim, sf.nodal_full)
-    qsh = g[0].shape[1:-1]                          # full-family point grid
-    gs = jnp.stack([x.reshape(E, -1, dim) for x in g], axis=2)  # (E,q,r,c)
-    s = jnp.einsum('eqrp,eqrc->eqpc', sf.G, gs)
-    s_list = [s[:, :, r, :].reshape((E,) + qsh + (dim,)) for r in range(dim)]
-    y = _gradients_t(s_list, sf.Hf, sf.Df, dim, sf.nodal_full)
+    zc = t[:, sf.v2cm].reshape(E * dim, nn)       # component-major rows
 
-    # ---- penalties (reduced family)
-    gr = _gradients(z, sf.Hr, sf.Dr, dim, False)
-    rsh = gr[0].shape[1:-1]
-    grs = jnp.stack([x.reshape(E, -1, dim) for x in gr], axis=2)
-    gp = jnp.einsum('eqpr,eqrc->eqpc', sf.Jr, grs)   # physical ∇u
-    div = jnp.einsum('eqcc->eq', gp)
-    curl = jnp.einsum('wcd,eqdc->eqw', sf.Tc, gp)
-    # cotangent of the physical gradient: α_d w div δ_pc + α_w w Σ T curl
-    eye = jnp.eye(dim, dtype=t.dtype)
-    sp = (sf.alpha_d * (sf.wr * div)[:, :, None, None] * eye
-          + sf.alpha_w * sf.wr[:, :, None, None]
-          * jnp.einsum('wcp,eqw->eqpc', sf.Tc, curl))
-    sr = jnp.einsum('eqpr,eqpc->eqrc', sf.Jr, sp)    # back to reference
-    sr_list = [sr[:, :, r, :].reshape((E,) + rsh + (dim,))
-               for r in range(dim)]
-    y = y + _gradients_t(sr_list, sf.Hr, sf.Dr, dim, False)
+    # ---- reference-space gradients, both families: ONE matmul each
+    gf = _mm(zc, sf.Df_flat).reshape(E, dim, dim, nqf)   # [e, c, r, q]
+    gr = _mm(zc, sf.Dr_flat).reshape(E, dim, dim, nqr)
 
-    return y.reshape(E, N**dim * dim)
+    # ---- stiffness cotangent: s[p,c] = Σ_r G[r,p] g[r,c]  (G symmetric)
+    s_p = []
+    for p in range(dim):
+        acc = None
+        for r in range(dim):
+            term = sf.Gt[:, r, p, :][:, None, :] * gf[:, :, r, :]
+            acc = term if acc is None else acc + term
+        s_p.append(acc)                           # (E, c, nqf)
+
+    # ---- penalties: physical gradient gp[p][e,c,q] = ∂u_c/∂x_p
+    gp = []
+    for p in range(dim):
+        acc = None
+        for r in range(dim):
+            term = sf.Jrt[:, p, r, :][:, None, :] * gr[:, :, r, :]
+            acc = term if acc is None else acc + term
+        gp.append(acc)
+    div = None                                    # (E, nqr)
+    for c in range(dim):
+        d = gp[c][:, c, :]
+        div = d if div is None else div + d
+    curl_w = []
+    for w in range(dim_w):
+        acc = None
+        for c in range(dim):
+            for d in range(dim):
+                tv = float(Tc[w, c, d])
+                if tv == 0.0:
+                    continue
+                term = tv * gp[d][:, c, :]
+                acc = term if acc is None else acc + term
+        curl_w.append(acc)                        # (E, nqr)
+
+    # cotangent sp[p][e,c,q] = α_d w div δ_pc + α_w w Σ_w T[w,c,p] curl_w
+    wdiv = sf.alpha_d * (sf.wr * div)
+    sp = []
+    for p in range(dim):
+        cols = []
+        for c in range(dim):
+            val = wdiv if c == p else None
+            for w in range(dim_w):
+                tv = float(Tc[w, c, p])
+                if tv == 0.0:
+                    continue
+                term = (sf.alpha_w * tv) * (sf.wr * curl_w[w])
+                val = term if val is None else val + term
+            if val is None:
+                val = jnp.zeros((E, nqr), dtype=t.dtype)
+            cols.append(val)
+        sp.append(jnp.stack(cols, axis=1))        # (E, c, nqr)
+
+    # back to reference axes: sr[r][e,c,q] = Σ_p Jr[p,r] sp[p]
+    sr = []
+    for r in range(dim):
+        acc = None
+        for p in range(dim):
+            term = sf.Jrt[:, p, r, :][:, None, :] * sp[p]
+            acc = term if acc is None else acc + term
+        sr.append(acc)
+
+    # ---- transposed scatters: one matmul per family with Dstackᵀ
+    sf_stack = jnp.stack(s_p, axis=2).reshape(E * dim, dim * nqf)
+    sr_stack = jnp.stack(sr, axis=2).reshape(E * dim, dim * nqr)
+    y = _mm(sf_stack, sf.Df_flat.T) + _mm(sr_stack, sf.Dr_flat.T)
+    return y.reshape(E, dim * nn)[:, sf.cm2v]

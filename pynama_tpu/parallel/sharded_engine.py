@@ -114,9 +114,9 @@ def build_sharded_ops(ops: E.EngineOps, ndev: int,
     if ops.sumfact is not None:
         sf = ops.sumfact
         sf_s = dataclasses.replace(
-            sf, G=split(sf.G), Jr=split(sf.Jr), wr=split(sf.wr),
-            Hf=bcast(sf.Hf), Df=bcast(sf.Df), Hr=bcast(sf.Hr),
-            Dr=bcast(sf.Dr), Tc=bcast(sf.Tc))
+            sf, Gt=split(sf.Gt), Jrt=split(sf.Jrt), wr=split(sf.wr),
+            Df_flat=bcast(sf.Df_flat), Dr_flat=bcast(sf.Dr_flat),
+            v2cm=bcast(sf.v2cm), cm2v=bcast(sf.cm2v))
 
     nn = ops.nn
     fs_out = []
