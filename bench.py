@@ -151,51 +151,71 @@ def bench_hex():
                                                "vorticity": [0, 0, 0]}},
            "initial-conditions": {"velocity": [1, 0, 0]}}
 
+    # wall-clock budget: this section must DEGRADE (emit whatever was
+    # measured) on a slow remote-compile window, not die with no JSON
+    # line (observed: one window spent >580 s inside the first chain
+    # compile)
+    budget_s = float(os.environ.get("PYNAMA_BENCH_BUDGET", 520))
+    hex_t0 = _t.time()
     res = {}
+    errors = []
     mesh = None
     for sf_on in (True, False):
-        q = Problem(cfg, solver="cg", cg_rtol=1e-6, cg_maxiter=500,
-                    engine=True, sumfact=sf_on)
-        q.setUp()
-        mesh = q.mesh
-        ops = q.engine_ops
-        assert (ops.sumfact is not None) == sf_on
-        rngv = np.random.default_rng(1)
-        v = jnp.asarray(q.to_local(rngv.standard_normal(
-            (mesh.n_nodes, 3))), dtype=q.dtype)
+        name = "sumfact" if sf_on else "dense"
+        if _t.time() - hex_t0 > budget_s:
+            errors.append(f"{name}: skipped (budget)")
+            continue
+        try:
+            q = Problem(cfg, solver="cg", cg_rtol=1e-6, cg_maxiter=500,
+                        engine=True, sumfact=sf_on)
+            q.setUp()
+            mesh = q.mesh
+            ops = q.engine_ops
+            assert (ops.sumfact is not None) == sf_on
+            rngv = np.random.default_rng(1)
+            v = jnp.asarray(q.to_local(rngv.standard_normal(
+                (mesh.n_nodes, 3))), dtype=q.dtype)
 
-        @jax.jit
-        def chain(ops_, v, nit):
-            def body(i, x):
-                y = E.apply_K(ops_, x)
-                return y / (1.0 + jnp.max(jnp.abs(y)))
-            return jax.lax.fori_loop(0, nit, body, v)
+            @jax.jit
+            def chain(ops_, v, nit):
+                def body(i, x):
+                    y = E.apply_K(ops_, x)
+                    return y / (1.0 + jnp.max(jnp.abs(y)))
+                return jax.lax.fori_loop(0, nit, body, v)
 
-        def best(n, reps=5):
-            float(np.asarray(chain(ops, v, n)).ravel()[0])
-            b = np.inf
-            for _ in range(reps):
-                t1 = _t.perf_counter()
-                o = chain(ops, v, n)
-                float(np.asarray(o).ravel()[0])
-                b = min(b, _t.perf_counter() - t1)
-            return b
-        rough = best(100, reps=2) / 100
-        n2 = int(min(max(1.0 / rough, 1000), 100000))
-        per = (best(n2) - best(100)) / (n2 - 100)
-        res["sumfact" if sf_on else "dense"] = per
-        log(f"hex K apply ({'sumfact' if sf_on else 'dense'}): "
-            f"{per*1e6:.1f} us")
+            def best(n, reps=5):
+                float(np.asarray(chain(ops, v, n)).ravel()[0])
+                b = np.inf
+                for _ in range(reps):
+                    t1 = _t.perf_counter()
+                    o = chain(ops, v, n)
+                    float(np.asarray(o).ravel()[0])
+                    b = min(b, _t.perf_counter() - t1)
+                return b
+            rough = best(100, reps=2) / 100
+            n2 = int(min(max(1.0 / rough, 1000), 100000))
+            per = (best(n2) - best(100)) / (n2 - 100)
+            res[name] = per
+            log(f"hex K apply ({name}): {per*1e6:.1f} us")
+        except Exception as e:  # noqa: BLE001 — degrade, never die
+            errors.append(f"{name}: {type(e).__name__}: "
+                          + " ".join(str(e).split())[:200])
+            log(f"hex section FAILED (degrading): {errors[-1]}")
 
-    speedup = res["dense"] / res["sumfact"]
+    speedup = res["dense"] / res["sumfact"] \
+        if "dense" in res and "sumfact" in res else None
+    us = lambda k: None if k not in res else round(res[k] * 1e6, 1)
     print(json.dumps({
         "metric": "hex_sumfact_speedup",
-        "value": round(speedup, 2), "unit": "x",
-        "vs_baseline": round(speedup, 2),
-        "detail": {"k_apply_sumfact_us": round(res["sumfact"] * 1e6, 1),
-                   "k_apply_dense_us": round(res["dense"] * 1e6, 1),
-                   "cells": mesh.n_cells, "ngl": ngl,
+        "value": 0.0 if speedup is None else round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": 0.0 if speedup is None else round(speedup, 2),
+        "detail": {"k_apply_sumfact_us": us("sumfact"),
+                   "k_apply_dense_us": us("dense"),
+                   "cells": None if mesh is None else mesh.n_cells,
+                   "ngl": ngl,
                    "dense_bytes_per_cell": (ngl**3 * 3) ** 2 * 4,
+                   "errors": errors,
                    "config": f"distorted hex {nx}x{ny}x{nz} ngl={ngl}"}}))
 
 
