@@ -415,14 +415,21 @@ def main():
             slope = t2 / n2
         return max(slope, 1e-9), t1
 
+    # every chain takes nit as a TRACED argument: ONE compile per chain
+    # type and shape set, reused for both slope lengths. The axon AOT
+    # path does not hit jax's persistent cache across processes, so each
+    # bench run pays its compiles fresh — and the remote compile service
+    # swings 2 s -> >10 min per program between windows; halving the
+    # program count is the one mitigation that always works.
+    @jax.jit
+    def _k_f(ops_, v, nit):
+        def body(i, x):
+            y = E.apply_K(ops_, x)
+            return y / (1.0 + jnp.max(jnp.abs(y)))
+        return jax.lax.fori_loop(0, nit, body, v)
+
     def k_chain(nit):
-        @jax.jit
-        def f(ops_, v):
-            def body(i, x):
-                y = E.apply_K(ops_, x)
-                return y / (1.0 + jnp.max(jnp.abs(y)))
-            return jax.lax.fori_loop(0, nit, body, v)
-        return f
+        return lambda ops_, v: _k_f(ops_, v, nit)
 
     import dataclasses as _dc
     res = guard("k_apply", timed_slope, k_chain, ops, v, n1=400, reps=7,
@@ -473,24 +480,26 @@ def main():
                 197.0) / 3.0
     mfu = flops / t_apply / (peak * 1e12)
 
+    @jax.jit
+    def _mm_f(ops_, v, nit):
+        def body(i, x):
+            y = L.mm(x, ops_.KT)
+            return y / (1.0 + jnp.max(jnp.abs(y)))
+        return jax.lax.fori_loop(0, nit, body, v)
+
     def mm_chain(nit):
-        @jax.jit
-        def f(ops_, v):
-            def body(i, x):
-                y = L.mm(x, ops_.KT)
-                return y / (1.0 + jnp.max(jnp.abs(y)))
-            return jax.lax.fori_loop(0, nit, body, v)
-        return f
+        return lambda ops_, v: _mm_f(ops_, v, nit)
+
+    @jax.jit
+    def _rot_f(ops_, v, nit):
+        def body(i, x):
+            for d in range(len(ops_.nelem)):
+                x = x[:, ops_.lay_v.perms[d]]
+            return x / (1.0 + jnp.max(jnp.abs(x)))
+        return jax.lax.fori_loop(0, nit, body, v)
 
     def rot_chain(nit):
-        @jax.jit
-        def f(ops_, v):
-            def body(i, x):
-                for d in range(len(ops_.nelem)):
-                    x = x[:, ops_.lay_v.perms[d]]
-                return x / (1.0 + jnp.max(jnp.abs(x)))
-            return jax.lax.fori_loop(0, nit, body, v)
-        return f
+        return lambda ops_, v: _rot_f(ops_, v, nit)
 
     t_mm = t_rot = t_dss = None
     if time_left() > 90:
@@ -521,25 +530,27 @@ def main():
     vort = E.curl(ops, v)
     vel0 = jnp.zeros_like(v)
 
+    @jax.jit
+    def _solve_f(ops_, w, u, nit):
+        def body(i, u):
+            _, u2 = E.solve_kle_local(ops_, w, u, 0.0)
+            return u2 * (1.0 - 1e-6) + 1e-7 * i  # defeat loop hoisting
+        return jax.lax.fori_loop(0, nit, body, u)
+
     def solve_chain(nit):
-        @jax.jit
-        def f(ops_, w, u):
-            def body(i, u):
-                _, u2 = E.solve_kle_local(ops_, w, u, 0.0)
-                return u2 * (1.0 - 1e-6) + 1e-7 * i  # defeat loop hoisting
-            return jax.lax.fori_loop(0, nit, body, u)
-        return f
+        return lambda ops_, w, u: _solve_f(ops_, w, u, nit)
 
     # a COLD chain: every iteration restarts from a ~zero initial guess
     # (the i-dependence defeats hoisting without warming the start vector)
+    @jax.jit
+    def _cold_f(ops_, w, u0, nit):
+        def body(i, u):
+            _, u2 = E.solve_kle_local(ops_, w, u * (1e-20 * i), 0.0)
+            return u0 + 1e-30 * u2
+        return jax.lax.fori_loop(0, nit, body, u0)
+
     def cold_chain(nit):
-        @jax.jit
-        def f(ops_, w, u0):
-            def body(i, u):
-                _, u2 = E.solve_kle_local(ops_, w, u * (1e-20 * i), 0.0)
-                return u0 + 1e-30 * u2
-            return jax.lax.fori_loop(0, nit, body, u0)
-        return f
+        return lambda ops_, w, u0: _cold_f(ops_, w, u0, nit)
 
     r = guard("kle_solve", timed_slope, solve_chain, ops, vort, vel0,
               n1=2, n2=10, reps=3)
@@ -554,14 +565,15 @@ def main():
         log(f"KLE solve (pc={ops.pc}, cold start): {t_cold*1e3:.2f} ms")
 
     # --- full RHS evaluation
+    @jax.jit
+    def _rhs_f(ops_, w, u, nit):
+        def body(i, w):
+            f_, _ = E.rhs_local(ops_, 0.0, w, u)
+            return w + 1e-9 * f_
+        return jax.lax.fori_loop(0, nit, body, w)
+
     def rhs_chain(nit):
-        @jax.jit
-        def f(ops_, w, u):
-            def body(i, w):
-                f_, _ = E.rhs_local(ops_, 0.0, w, u)
-                return w + 1e-9 * f_
-            return jax.lax.fori_loop(0, nit, body, w)
-        return f
+        return lambda ops_, w, u: _rhs_f(ops_, w, u, nit)
 
     r = guard("rhs_eval", timed_slope, rhs_chain, ops, vort, vel0,
               n1=2, n2=10, reps=3)
