@@ -30,6 +30,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+#: milestones recorded as the run progresses — the hard-timeout watchdog
+#: (see __main__) emits these when the measurement thread stalls beyond
+#: the wall budget (observed failure mode: the shared chip's execution
+#: queue can hang a large-array result fetch indefinitely; no in-thread
+#: guard can interrupt a blocked C++ fetch call)
+PARTIAL = {}
+
+
 def assembled_nnz(mesh) -> int:
     """Exact nnz of the assembled KLE operator K (dim x dim dense blocks,
     stencil = union of element node ranges per axis)."""
@@ -372,6 +380,10 @@ def main():
 
     nnz = assembled_nnz(p.mesh)
     log(f"assembled K nnz: {nnz/1e9:.3f} G")
+    PARTIAL.update(
+        setup_s=round(setup_s, 1),
+        setup_phases_s={k: round(v, 2) for k, v in p.setup_phases.items()},
+        fused=bool(ops.fused), nnz=nnz, last_milestone="setup")
 
     rng = np.random.default_rng(0)
     v = jnp.asarray(p.to_local(rng.standard_normal(
@@ -456,6 +468,9 @@ def main():
     log(f"K apply (fused={ops.fused}): {t_apply*1e6:.1f} us "
         f"-> {gnnz_s:.1f} GNNZ/s effective "
         f"(single-call latency floor {t_call*1e3:.1f} ms)")
+    PARTIAL.update(gnnz_s=round(gnnz_s, 2),
+                   k_apply_ms=round(t_apply * 1e3, 4),
+                   last_milestone="k_apply")
 
     # unfused (jnp dss) comparator: same chain on a fused=False ops copy
     t_apply_nf = None
@@ -668,13 +683,7 @@ def main():
     }))
 
 
-if __name__ == "__main__":
-    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
-    # honor it explicitly (the scaling bench runs on virtual CPU devices)
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
+def _run_for_watchdog(done):
     try:
         main()
     except Exception as e:  # noqa: BLE001 — the JSON line ALWAYS prints
@@ -684,4 +693,42 @@ if __name__ == "__main__":
             "metric": "spmv_effective_gnnz_per_s", "value": 0.0,
             "unit": "GNNZ/s", "vs_baseline": 0.0,
             "detail": {"errors": [f"fatal: {type(e).__name__}: "
-                                  + " ".join(str(e).split())[:300]]}}))
+                                  + " ".join(str(e).split())[:300]],
+                       **PARTIAL}}))
+    finally:
+        sys.stdout.flush()
+        done.set()
+
+
+if __name__ == "__main__":
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+    # honor it explicitly (the scaling bench runs on virtual CPU devices)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    # HARD wall-clock watchdog: the measurement runs in a worker thread;
+    # if it stalls past the budget (observed: the shared chip's execution
+    # queue hung a 10 MB result fetch for >9 minutes across three runs in
+    # one window — a blocked C++ call that no try/except or in-thread
+    # budget check can preempt), the main thread emits the JSON line with
+    # the milestones recorded so far and hard-exits. The driver gets a
+    # parseable artifact naming the stall instead of a timeout kill.
+    import threading
+    done = threading.Event()
+    th = threading.Thread(target=_run_for_watchdog, args=(done,),
+                          daemon=True)
+    t0 = time.time()
+    th.start()
+    hard_s = float(os.environ.get("PYNAMA_BENCH_HARD_TIMEOUT", 560))
+    if not done.wait(hard_s):
+        print(json.dumps({
+            "metric": "spmv_effective_gnnz_per_s",
+            "value": PARTIAL.get("gnnz_s", 0.0),
+            "unit": "GNNZ/s", "vs_baseline": 0.0,
+            "detail": {"errors": [
+                f"hard-stall after {time.time()-t0:.0f}s at milestone "
+                f"'{PARTIAL.get('last_milestone', 'startup')}' (device "
+                "execution/fetch hung — saturated shared chip window)"],
+                **PARTIAL}}), flush=True)
+        os._exit(0)
