@@ -683,18 +683,26 @@ def main():
     }))
 
 
+#: serializes the worker's final JSON line against the watchdog's partial
+#: line: whoever prints first wins, the other stays silent (the driver
+#: parses the LAST stdout line, so two lines in either order are a hazard)
+_EMIT_LOCK = None
+
+
 def _run_for_watchdog(done):
     try:
         main()
     except Exception as e:  # noqa: BLE001 — the JSON line ALWAYS prints
         import traceback
         traceback.print_exc(file=sys.stderr)
-        print(json.dumps({
-            "metric": "spmv_effective_gnnz_per_s", "value": 0.0,
-            "unit": "GNNZ/s", "vs_baseline": 0.0,
-            "detail": {"errors": [f"fatal: {type(e).__name__}: "
-                                  + " ".join(str(e).split())[:300]],
-                       **PARTIAL}}))
+        with _EMIT_LOCK:
+            if not done.is_set():
+                print(json.dumps({
+                    "metric": "spmv_effective_gnnz_per_s", "value": 0.0,
+                    "unit": "GNNZ/s", "vs_baseline": 0.0,
+                    "detail": {"errors": [f"fatal: {type(e).__name__}: "
+                                          + " ".join(str(e).split())[:300]],
+                               **PARTIAL}}))
     finally:
         sys.stdout.flush()
         done.set()
@@ -715,6 +723,7 @@ if __name__ == "__main__":
     # the milestones recorded so far and hard-exits. The driver gets a
     # parseable artifact naming the stall instead of a timeout kill.
     import threading
+    _EMIT_LOCK = threading.Lock()
     done = threading.Event()
     th = threading.Thread(target=_run_for_watchdog, args=(done,),
                           daemon=True)
@@ -722,13 +731,20 @@ if __name__ == "__main__":
     th.start()
     hard_s = float(os.environ.get("PYNAMA_BENCH_HARD_TIMEOUT", 560))
     if not done.wait(hard_s):
-        print(json.dumps({
-            "metric": "spmv_effective_gnnz_per_s",
-            "value": PARTIAL.get("gnnz_s", 0.0),
-            "unit": "GNNZ/s", "vs_baseline": 0.0,
-            "detail": {"errors": [
-                f"hard-stall after {time.time()-t0:.0f}s at milestone "
-                f"'{PARTIAL.get('last_milestone', 'startup')}' (device "
-                "execution/fetch hung — saturated shared chip window)"],
-                **PARTIAL}}), flush=True)
-        os._exit(0)
+        # re-check done INSIDE the lock: if the worker unblocked and
+        # printed its real JSON line in the same instant, the stale
+        # partial line must NOT follow it (the driver parses the last
+        # line)
+        with _EMIT_LOCK:
+            if done.is_set():
+                os._exit(0)
+            print(json.dumps({
+                "metric": "spmv_effective_gnnz_per_s",
+                "value": PARTIAL.get("gnnz_s", 0.0),
+                "unit": "GNNZ/s", "vs_baseline": 0.0,
+                "detail": {"errors": [
+                    f"hard-stall after {time.time()-t0:.0f}s at milestone "
+                    f"'{PARTIAL.get('last_milestone', 'startup')}' (device "
+                    "execution/fetch hung — saturated shared chip window)"],
+                    **PARTIAL}}), flush=True)
+            os._exit(0)

@@ -181,6 +181,11 @@ def compute_kle_matrices(basis: TensorBasis, corners: np.ndarray,
     dim_w = Tc.shape[0]
     eye = np.eye(dim)
     corners = np.asarray(corners, dtype=np.float64)
+    if corners.ndim not in (2, 3):
+        raise ValueError(
+            f"corners must be (n_corners, dim) or (E, n_corners, dim); "
+            f"got ndim={corners.ndim} (arbitrary leading batch dims are "
+            "not supported by the batched-GEMM forms)")
     batched = corners.ndim == 3
     C = corners if batched else corners[None]
     E = C.shape[0]
@@ -243,6 +248,10 @@ def compute_operators(basis: TensorBasis, corners: np.ndarray
     dim = basis.dim
     fam = basis.operator
     corners = np.asarray(corners, dtype=np.float64)
+    if corners.ndim not in (2, 3):
+        raise ValueError(
+            f"corners must be (n_corners, dim) or (E, n_corners, dim); "
+            f"got ndim={corners.ndim}")
     batched = corners.ndim == 3
     C = corners if batched else corners[None]
     Hxy, wdet = _geometry(fam, C)

@@ -546,6 +546,14 @@ def _masked_solve(ops: EngineOps, free, vort, vel, fdm=None):
 
     dmask = free * ops.diag + con
 
+    # CONTRACT for every M_inv below: z = M_inv(r) must preserve exact
+    # zeros on the constrained dofs (z_con == 0 whenever r_con == 0).
+    # The A0/A split above rests on it — the in-loop operator drops the
+    # input mask and `con*v` passthrough because every loop vector stays
+    # exactly zero on constrained dofs; a preconditioner that smooths
+    # across the constraint boundary would silently change the solve.
+    # All three forms comply: each masks with `free` and re-adds `con*r`
+    # (or divides by a diagonal, which maps zeros to zeros).
     if ops.pc == "fdm" and fdm is not None:
         # penalty-aware: exact inverse of the unpenalized separable
         # stiffness clusters the spectrum near {1, 1+alpha_w, 1+alpha_d}
