@@ -7,16 +7,23 @@ assembled-CSR SpMV on this chip's HBM bandwidth (8 bytes/nnz at f32:
 value + column index) — i.e. how the TPU-native matrix-free design compares
 with the best any PETSc-style assembled SpMV could do on the same silicon.
 
-Methodology notes:
-  * All operator pytrees are passed as jit ARGUMENTS (closure-captured
-    constants trigger pathological XLA compiles and per-call re-uploads on
-    some platforms).
-  * The K apply is timed as a chain of NIT applications inside one jit
-    (lax.fori_loop) with a final host fetch — robust against dispatch
-    latency/noise on tunneled devices.
-
-Secondary numbers (stderr): KLE CG solve time at fixed residual, full RHS
-evaluation time, per BASELINE.md.
+Methodology (round 5 — the protocol the r4 verdict asked for):
+  * Competing variants (fused vs unfused apply, jacobi vs fdm solves) are
+    timed INTERLEAVED: every variant's short and long chains run
+    round-robin inside the same device windows, min over rounds, so a
+    contended-chip swing can no longer make one variant's number land in a
+    different window than its comparator (r4's official artifact recorded
+    a matmul phase 3.4x the whole apply that way).
+  * Per-iteration time is the slope between two chain lengths (cancels
+    dispatch/fetch latency, which reaches 400 ms on saturated windows).
+  * The phase split and MFU are derived from the SAME interleaved group as
+    the headline apply — internally consistent by construction.
+  * Sections are ordered so a budget-skip drops only fields some other
+    artifact already records: apply group -> warm solves (jacobi+fdm
+    interleaved) -> high-order -> IBM -> cold solves -> rhs.
+  * All operator pytrees are jit ARGUMENTS (closure constants trigger
+    pathological XLA compiles); every chain takes nit as a TRACED argument
+    so both slope lengths share one compile.
 """
 import json
 import os
@@ -59,6 +66,97 @@ def assembled_nnz(mesh) -> int:
     return int(grid.sum()) * mesh.dim * mesh.dim
 
 
+# --------------------------------------------------------------- protocol
+def _sync_first(out):
+    """Host-fetch sync on the first element of an arbitrary pytree leaf."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def best_of(fn, *args, reps=5):
+    fn_out = fn(*args)
+    _sync_first(fn_out)                            # compile + sync
+    best = np.inf
+    for _ in range(reps):
+        t1 = time.perf_counter()
+        out = fn(*args)
+        _sync_first(out)                           # host fetch = hard sync
+        best = min(best, time.perf_counter() - t1)
+    return best
+
+
+def timed_slope(make_chain, *args, n1=None, n2=None, reps=5,
+                target_s=None):
+    """Per-iteration device time from the slope between two chain
+    lengths (single-variant form; competing variants use
+    interleaved_slopes). The long chain is sized from the MEASURED rough
+    rate so one timed call never exceeds ~2.5 s even in a fast window."""
+    if target_s is not None:
+        rough = best_of(make_chain(n1), *args, reps=2)
+        per = max(rough / n1, 1e-7)
+        n2 = int(np.clip(target_s / per, 2 * n1, 200000))
+        n2 = min(n2, max(int(2.5 / per), 2 * n1))
+    t1 = best_of(make_chain(n1), *args, reps=reps)
+    t2 = best_of(make_chain(n2), *args, reps=min(reps, 3))
+    slope = (t2 - t1) / (n2 - n1)
+    if slope <= 0:
+        # jitter swamped the short chain; fall back to the long chain's
+        # amortized rate — an upper bound, never 0
+        slope = t2 / n2
+    return max(slope, 1e-9), t1
+
+
+def interleaved_slopes(specs, n1=400, target_s=1.0, rounds=5,
+                       time_left=None, reserve=60.0):
+    """Round-robin slope timing for COMPETING variants.
+
+    specs: list of (name, make_chain, args_tuple). Each round times every
+    variant's short then long chain in sequence; the reported
+    per-iteration time is the slope between the min-over-rounds times.
+    Because all variants sample the same window sequence, cross-variant
+    ratios (fused speedup, jacobi-vs-fdm) are meaningful even when the
+    shared chip's absolute throughput swings between rounds.
+
+    Returns dict name -> (per_iter_s, short_chain_floor_s)."""
+    state = {}
+    for name, make_chain, args in specs:
+        try:
+            fn1 = make_chain(n1)
+            _sync_first(fn1(*args))                # compile + sync
+        except Exception as e:  # noqa: BLE001 — drop the variant, keep
+            # the group (one variant's compile failure must not void its
+            # comparators' numbers)
+            log(f"interleaved spec '{name}' failed to compile/run: "
+                f"{type(e).__name__}: " + " ".join(str(e).split())[:200])
+            continue
+        t0 = time.perf_counter()
+        _sync_first(fn1(*args))
+        rough = time.perf_counter() - t0
+        per = max(rough / n1, 1e-7)
+        n2 = int(np.clip(target_s / per, 2 * n1, 200000))
+        n2 = min(n2, max(int(2.5 / per), 2 * n1))
+        state[name] = dict(fn1=fn1, fn2=make_chain(n2), n1=n1, n2=n2,
+                           t1=np.inf, t2=np.inf, args=args)
+    for _ in range(rounds):
+        for st in state.values():
+            for fk, tk in (("fn1", "t1"), ("fn2", "t2")):
+                t0 = time.perf_counter()
+                _sync_first(st[fk](*st["args"]))
+                st[tk] = min(st[tk], time.perf_counter() - t0)
+        if time_left is not None and time_left() < reserve:
+            log("interleaved group: budget cut after a round")
+            break
+    out = {}
+    for name, st in state.items():
+        slope = (st["t2"] - st["t1"]) / (st["n2"] - st["n1"])
+        if slope <= 0:
+            slope = st["t2"] / st["n2"]
+        out[name] = (max(slope, 1e-9), st["t1"])
+    return out
+
+
+# --------------------------------------------------------------- sections
 def bench_scaling():
     """Weak-scaling efficiency over all visible devices (BASELINE.md:
     '>=75% nnz/s scaling efficiency'). Shards the full RHS over a 1D mesh
@@ -75,7 +173,10 @@ def bench_scaling():
         and duplicated shared operands) against the unsharded run of
         the base problem on the same silicon: 1.0 = sharding adds zero
         overhead; this bounds the comm+duplication cost the real-chip
-        run would amortize against N x the FLOPs."""
+        run would amortize against N x the FLOPs.
+
+    The reported value is the MINIMUM efficiency over all measured N
+    (the r4 artifact reported N=8 while N=2 sat below the bar)."""
     import jax
     import jax.numpy as jnp
     from pynama_tpu.cases import Problem
@@ -116,24 +217,30 @@ def bench_scaling():
         log(f"scaling ndev={ndev}: {results[ndev]:.2f} GNNZ/s "
             f"({results[ndev]/ndev:.2f}/dev)")
     shared = jax.devices()[0].platform == "cpu"
-    nmax = max(results)
-    if len(results) == 1:
-        eff = 1.0
-    elif shared:
-        eff = results[nmax] / results[1]
+    effs = {}
+    for ndev, g in results.items():
+        if ndev == 1:
+            continue
+        effs[ndev] = (g / results[1]) if shared \
+            else (g / ndev) / results[1]
+    if not effs:
+        eff, n_min = 1.0, 1
     else:
-        eff = (results[nmax] / nmax) / results[1]
+        n_min = min(effs, key=effs.get)
+        eff = effs[n_min]
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
         "value": round(eff, 3), "unit": "ratio",
         "vs_baseline": round(eff / 0.75, 3),
         "detail": {"gnnz_per_s": {str(k): round(v, 2)
                                   for k, v in results.items()},
+                   "efficiency_per_n": {str(k): round(v, 3)
+                                        for k, v in effs.items()},
                    "devices": ("virtual-cpu (shared silicon: efficiency "
                                "= T(N)/T(1), the sharding+comm overhead "
                                "bound)" if shared else "real chips: "
                                "efficiency = T(N)/(N*T(1))"),
-                   "ndev_max": nmax}}))
+                   "value_is": f"minimum over N (at N={n_min})"}}))
 
 
 def bench_hex():
@@ -141,7 +248,6 @@ def bench_hex():
     per-element matrices. The dense path streams (nn*dim)^2 floats per
     element per CG iteration (147 KB at ngl=4 f32); SumFactK streams
     ~2.6 KB/element — this records the HBM win on real hardware."""
-    import tempfile
     import time as _t
 
     import jax
@@ -166,6 +272,7 @@ def bench_hex():
     budget_s = float(os.environ.get("PYNAMA_BENCH_BUDGET", 520))
     hex_t0 = _t.time()
     res = {}
+    setup_secs = {}
     errors = []
     mesh = None
     for sf_on in (True, False):
@@ -174,9 +281,11 @@ def bench_hex():
             errors.append(f"{name}: skipped (budget)")
             continue
         try:
+            t0 = _t.time()
             q = Problem(cfg, solver="cg", cg_rtol=1e-6, cg_maxiter=500,
                         engine=True, sumfact=sf_on)
             q.setUp()
+            setup_secs[name] = round(_t.time() - t0, 1)
             mesh = q.mesh
             ops = q.engine_ops
             assert (ops.sumfact is not None) == sf_on
@@ -191,20 +300,13 @@ def bench_hex():
                     return y / (1.0 + jnp.max(jnp.abs(y)))
                 return jax.lax.fori_loop(0, nit, body, v)
 
-            def best(n, reps=5):
-                float(np.asarray(chain(ops, v, n)).ravel()[0])
-                b = np.inf
-                for _ in range(reps):
-                    t1 = _t.perf_counter()
-                    o = chain(ops, v, n)
-                    float(np.asarray(o).ravel()[0])
-                    b = min(b, _t.perf_counter() - t1)
-                return b
-            rough = best(100, reps=2) / 100
-            n2 = int(min(max(1.0 / rough, 1000), 100000))
-            per = (best(n2) - best(100)) / (n2 - 100)
+            def mk(n):
+                return lambda o_, v_: chain(o_, v_, n)
+
+            per, _ = timed_slope(mk, ops, v, n1=100, reps=5, target_s=1.0)
             res[name] = per
-            log(f"hex K apply ({name}): {per*1e6:.1f} us")
+            log(f"hex K apply ({name}): {per*1e6:.1f} us "
+                f"(setup {setup_secs[name]}s)")
         except Exception as e:  # noqa: BLE001 — degrade, never die
             errors.append(f"{name}: {type(e).__name__}: "
                           + " ".join(str(e).split())[:200])
@@ -220,6 +322,7 @@ def bench_hex():
         "vs_baseline": 0.0 if speedup is None else round(speedup, 2),
         "detail": {"k_apply_sumfact_us": us("sumfact"),
                    "k_apply_dense_us": us("dense"),
+                   "setup_s": setup_secs,
                    "cells": None if mesh is None else mesh.n_cells,
                    "ngl": ngl,
                    "dense_bytes_per_cell": (ngl**3 * 3) ** 2 * 4,
@@ -289,6 +392,115 @@ def _write_hex_msh(nx, ny, nz, distort=0.0):
     return f.name
 
 
+def _ibm_section(timed, dtype_str):
+    """Per-step IBM costs on the chip (r4 missing #3 / weak #7): the
+    static body's velocity-correction solve (Cholesky back-substitution
+    path, reference computeVelocityCorrection immersed_boundary.py:162-168)
+    and the dynamic body's full in-jit rebuild (support tables + matrix-
+    free CG + spread, the analog of rebuildMatrix immersed_boundary.py:
+    379-385) — both at the bundled production configs."""
+    import jax
+    import jax.numpy as jnp
+    from pynama_tpu.cases.ibm import (ImmersedBoundaryDynamic,
+                                      ImmersedBoundaryStatic)
+    from pynama_tpu.ibm import interpolation as I
+
+    out = {}
+
+    def base_cfg(nelem, lo, hi, re):
+        return {
+            "name": "bench-ibm", "material-properties": {"rho": 0.5,
+                                                         "mu": 0.01},
+            "domain": {"ngl": 3, "box-mesh": {
+                "nelem": nelem, "lower": lo, "upper": hi}},
+            "time-solver": {"start-time": 0, "end-time": 1, "max-steps": 1},
+            "boundary-conditions": {"uniform": {
+                "re": re, "direction": 0, "Lref": "1", "rho": 0.5,
+                "mu": 0.01}},
+            "initial-conditions": {"vorticity": [0]},
+            "bodies": [{"type": "circle", "vel": "static", "radius": 0.5,
+                        "center": [0, 0]}],
+        }
+
+    # static cylinder, the reference ibm-static production config
+    cfg = base_cfg([50, 50], [-3, -3], [3, 3], 10)
+    ps = ImmersedBoundaryStatic(cfg, solver="cg", cg_rtol=1e-6,
+                                cg_maxiter=500)
+    ps.setUp()
+    nn = ps.mesh.n_nodes
+    rng = np.random.default_rng(3)
+    vel = jnp.asarray(rng.standard_normal((nn, 2)), dtype=ps.dtype)
+    bv = jnp.asarray(ps.body.velocities(), dtype=ps.dtype)
+
+    @jax.jit
+    def _stat_f(iops, nodes, w, chol, v, bv, nit):
+        def body(i, v):
+            corr, _ = I.correction(iops, nodes, w, chol, v, bv, n_nodes=nn)
+            return v + 1e-9 * corr
+        return jax.lax.fori_loop(0, nit, body, v)
+
+    def mk_stat(n):
+        return lambda *a: _stat_f(*a, n)
+
+    per, _ = timed(mk_stat, ps.ibm_ops, ps.nodes_tab, ps.w_tab, ps.chol,
+                   vel, bv, n1=50, reps=5, target_s=0.5)
+    out["static_correction_us"] = round(per * 1e6, 1)
+    out["static_config"] = "50x50 ngl=3, 2D cylinder r=0.5 (Re=10)"
+    out["lag_points"] = int(ps.body.n_nodes)
+    log(f"IBM static correction: {per*1e6:.1f} us/step "
+        f"({ps.body.n_nodes} lag points, {nn} nodes)")
+
+    # dynamic cylinder, the reference ibm-dynamic production config
+    cfg = base_cfg([100, 100], [-4, -4], [4, 4], 140)
+    cfg["bodies"][0]["vel"] = "dynamic"
+    pd = ImmersedBoundaryDynamic(cfg, solver="cg", cg_rtol=1e-6,
+                                 cg_maxiter=500)
+    pd.setUp()
+    nn_d = pd.mesh.n_nodes
+    xy = jnp.asarray(pd.body.coordinates(), dtype=pd.dtype)
+    vel = jnp.asarray(rng.standard_normal((nn_d, 2)), dtype=pd.dtype)
+    bv = jnp.asarray(pd.body.velocities(), dtype=pd.dtype)
+    flux0 = jnp.zeros((pd.body.n_nodes, 2), dtype=pd.dtype)
+    rtol = pd._corr_rtol
+
+    @jax.jit
+    def _dyn_f(iops, xy, v, bv, f0, nit):
+        def body(i, carry):
+            v, f = carry
+            # i-dependent shift defeats loop hoisting of the table build
+            nodes, w = I.support_tables(iops, xy + 1e-14 * i)
+            corr, flux, _ = I.correction_cg(iops, nodes, w, v, bv, f,
+                                            n_nodes=nn_d, rtol=rtol)
+            return (v + 1e-9 * corr, flux)
+        return jax.lax.fori_loop(0, nit, body, (v, f0))[0]
+
+    def mk_dyn(n):
+        return lambda *a: _dyn_f(*a, n)
+
+    per_d, _ = timed(mk_dyn, pd.ibm_ops, xy, vel, bv, flux0,
+                     n1=20, reps=5, target_s=0.5)
+    out["dynamic_rebuild_us"] = round(per_d * 1e6, 1)
+    out["dynamic_config"] = "100x100 ngl=3, 2D cylinder r=0.5 (Re=140)"
+    out["dynamic_lag_points"] = int(pd.body.n_nodes)
+    log(f"IBM dynamic rebuild+correction: {per_d*1e6:.1f} us/step "
+        f"({pd.body.n_nodes} lag points, {nn_d} nodes)")
+    return out
+
+
+def _mem_stats(dev):
+    """Peak/current HBM from the device, where the backend exposes it."""
+    try:
+        ms = dev.memory_stats()
+    except Exception:  # noqa: BLE001 — optional on experimental backends
+        return None
+    if not ms:
+        return None
+    gb = lambda k: None if k not in ms else round(ms[k] / 2**30, 3)
+    return {"bytes_in_use_gb": gb("bytes_in_use"),
+            "peak_bytes_in_use_gb": gb("peak_bytes_in_use"),
+            "bytes_limit_gb": gb("bytes_limit")}
+
+
 def main():
     import jax
     # persistent compilation cache (see smoke.py: the shared remote
@@ -340,6 +552,11 @@ def main():
     def time_left():
         return budget_s - (time.time() - bench_t0)
 
+    def gate(cap):
+        """Section gates scale with the budget so a small-budget CPU
+        contract run still reaches every section."""
+        return min(cap, 0.25 * budget_s)
+
     # every section is guarded: a failure records an error string and the
     # report DEGRADES (fused -> unfused, optional sections -> null) instead
     # of dying — the round-3 bench was killed by one kernel compile error
@@ -389,50 +606,10 @@ def main():
     v = jnp.asarray(p.to_local(rng.standard_normal(
         (p.mesh.n_nodes, p.dim))), dtype=p.dtype)
 
-    def best_of(fn, *args, reps=5):
-        float(np.asarray(fn(*args)).ravel()[0])    # compile + sync
-        best = np.inf
-        for _ in range(reps):
-            t1 = time.perf_counter()
-            out = fn(*args)
-            float(np.asarray(out).ravel()[0])      # host fetch = hard sync
-            best = min(best, time.perf_counter() - t1)
-        return best
+    # ---- group A (interleaved): apply variants + phase probes -----------
+    from pynama_tpu.ops import local as L
+    import dataclasses as _dc
 
-    def timed_slope(make_chain, *args, n1=None, n2=None, reps=5,
-                    target_s=None):
-        """Per-iteration device time from the slope between two chain
-        lengths. On tunneled devices a single call carries O(10 ms) of
-        dispatch+fetch latency AND tens of ms of jitter; the difference
-        cancels the constant part, and target_s sizes the long chain so
-        the measured signal dwarfs the jitter (the fused kernel is fast
-        enough that fixed short chains drown in noise). The shared chip's
-        throughput itself swings >10x between windows, so the long chain
-        is budgeted by the MEASURED rough rate (never 10*n1 blindly —
-        that turned a 550 s budget into a timeout in one slow window)."""
-        if target_s is not None:
-            rough = best_of(make_chain(n1), *args, reps=2)
-            per = max(rough / n1, 1e-7)
-            n2 = int(np.clip(target_s / per, 2 * n1, 200000))
-            # never let one timed call exceed ~2.5 s even when the rough
-            # estimate was taken in a fast window
-            n2 = min(n2, max(int(2.5 / per), 2 * n1))
-        t1 = best_of(make_chain(n1), *args, reps=reps)
-        t2 = best_of(make_chain(n2), *args, reps=min(reps, 3))
-        slope = (t2 - t1) / (n2 - n1)
-        if slope <= 0:
-            # jitter swamped the short chain (contended windows show
-            # 100s-of-ms latency floors); fall back to the long chain's
-            # amortized rate — an upper bound, never 0
-            slope = t2 / n2
-        return max(slope, 1e-9), t1
-
-    # every chain takes nit as a TRACED argument: ONE compile per chain
-    # type and shape set, reused for both slope lengths. The axon AOT
-    # path does not hit jax's persistent cache across processes, so each
-    # bench run pays its compiles fresh — and the remote compile service
-    # swings 2 s -> >10 min per program between windows; halving the
-    # program count is the one mitigation that always works.
     @jax.jit
     def _k_f(ops_, v, nit):
         def body(i, x):
@@ -442,58 +619,6 @@ def main():
 
     def k_chain(nit):
         return lambda ops_, v: _k_f(ops_, v, nit)
-
-    import dataclasses as _dc
-    res = guard("k_apply", timed_slope, k_chain, ops, v, n1=400, reps=7,
-                target_s=1.0)
-    if res is None and ops.fused:
-        # the compile-probe in build_engine should make this unreachable;
-        # belt-and-braces: fall back to the jnp path and keep benching
-        ops = _dc.replace(ops, fused=False)
-        res = guard("k_apply_fallback", timed_slope, k_chain, ops, v,
-                    n1=400, reps=7, target_s=1.0)
-    if res is None:
-        # nothing timeable at all: emit what we recorded and stop — the
-        # errors list (the root cause) must survive into the artifact
-        print(json.dumps({
-            "metric": "spmv_effective_gnnz_per_s", "value": 0.0,
-            "unit": "GNNZ/s", "vs_baseline": 0.0,
-            "detail": {"setup_s": round(setup_s, 1),
-                       "setup_phases_s": {k: round(v2, 2) for k, v2
-                                          in p.setup_phases.items()},
-                       "fused": bool(ops.fused), "errors": errors}}))
-        return
-    t_apply, t_call = res
-    gnnz_s = nnz / t_apply / 1e9
-    log(f"K apply (fused={ops.fused}): {t_apply*1e6:.1f} us "
-        f"-> {gnnz_s:.1f} GNNZ/s effective "
-        f"(single-call latency floor {t_call*1e3:.1f} ms)")
-    PARTIAL.update(gnnz_s=round(gnnz_s, 2),
-                   k_apply_ms=round(t_apply * 1e3, 4),
-                   last_milestone="k_apply")
-
-    # unfused (jnp dss) comparator: same chain on a fused=False ops copy
-    t_apply_nf = None
-    if ops.fused and time_left() > 90:
-        ops_nf = _dc.replace(ops, fused=False)
-        r = guard("k_apply_unfused", timed_slope, k_chain, ops_nf, v,
-                  n1=400, reps=5, target_s=1.0)
-        if r is not None:
-            t_apply_nf = r[0]
-            log(f"K apply (unfused jnp path): {t_apply_nf*1e6:.1f} us "
-                f"(fused speedup {t_apply_nf/t_apply:.2f}x)")
-
-    # --- MFU + phase split (matmul vs DSS vs layout rotations)
-    from pynama_tpu.ops import local as L
-    flops = 2.0 * p.mesh.n_cells * (p.mesh.nnode_el * p.dim) ** 2
-    # f32-effective matmul peak: bf16 peak / 3 (Precision.HIGHEST = bf16_3x)
-    bf16_peak_tf = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
-                    "TPU v4": 275.0, "TPU v6 lite": 918.0,
-                    "TPU v6e": 918.0}
-    kind = getattr(dev, "device_kind", "")
-    peak = next((x for k, x in bf16_peak_tf.items() if k in kind),
-                197.0) / 3.0
-    mfu = flops / t_apply / (peak * 1e12)
 
     @jax.jit
     def _mm_f(ops_, v, nit):
@@ -516,32 +641,81 @@ def main():
     def rot_chain(nit):
         return lambda ops_, v: _rot_f(ops_, v, nit)
 
-    t_mm = t_rot = t_dss = None
-    if time_left() > 90:
-        r1 = guard("phase_matmul", timed_slope, mm_chain, ops, v, n1=400,
-                   reps=5, target_s=1.0)
-        r2 = guard("phase_rot", timed_slope, rot_chain, ops, v, n1=400,
-                   reps=5, target_s=0.5)
-        if r1 is not None and r2 is not None:
-            t_mm, t_rot = r1[0], r2[0]
-            t_dss = max(t_apply - t_mm, 0.0)
-            log(f"phase split: matmul {t_mm*1e6:.1f} us "
-                f"({flops/t_mm/1e12:.1f} "
-                f"TFLOP/s, {mfu*100:.1f}% of f32-effective peak), "
-                f"DSS-overhead {t_dss*1e6:.1f} us "
-                f"({t_dss/t_apply*100:.0f}% of apply), "
-                f"jnp-path rotations {t_rot*1e6:.1f} us")
+    ops_nf = _dc.replace(ops, fused=False)
+    specs = [("k_unfused", k_chain, (ops_nf, v)),
+             ("matmul", mm_chain, (ops, v)),
+             ("rot", rot_chain, (ops, v))]
+    if ops.fused:
+        specs.insert(0, ("k_fused", k_chain, (ops, v)))
+    groupA = guard("apply_group", interleaved_slopes, specs, n1=400,
+                   target_s=1.0, rounds=5, time_left=time_left,
+                   reserve=min(120.0, 0.3 * budget_s))
+    if groupA is None or ("k_fused" not in groupA
+                          and "k_unfused" not in groupA):
+        # nothing timeable at all: emit what we recorded and stop — the
+        # errors list (the root cause) must survive into the artifact
+        print(json.dumps({
+            "metric": "spmv_effective_gnnz_per_s", "value": 0.0,
+            "unit": "GNNZ/s", "vs_baseline": 0.0,
+            "detail": {"setup_s": round(setup_s, 1),
+                       "setup_phases_s": {k: round(v2, 2) for k, v2
+                                          in p.setup_phases.items()},
+                       "fused": bool(ops.fused), "errors": errors}}))
+        return
+
+    t_fused = groupA.get("k_fused", (None, None))[0]
+    t_unfused = groupA.get("k_unfused", (None, None))[0]
+    t_mm = groupA.get("matmul", (None, None))[0]
+    t_rot = groupA.get("rot", (None, None))[0]
+    # the headline apply = the engine's default path
+    t_apply = t_fused if ops.fused and t_fused is not None else t_unfused
+    t_call = groupA.get("k_fused" if ops.fused else "k_unfused",
+                        groupA.get("k_unfused"))[1]
+    gnnz_s = nnz / t_apply / 1e9
+    log(f"K apply (default, fused={ops.fused}): {t_apply*1e6:.1f} us "
+        f"-> {gnnz_s:.1f} GNNZ/s effective "
+        f"(short-chain floor {t_call*1e3:.1f} ms)")
+    if t_fused is not None and t_unfused is not None:
+        log(f"interleaved fused {t_fused*1e6:.1f} us vs unfused "
+            f"{t_unfused*1e6:.1f} us: speedup {t_unfused/t_fused:.2f}x")
+    PARTIAL.update(gnnz_s=round(gnnz_s, 2),
+                   k_apply_ms=round(t_apply * 1e3, 4),
+                   last_milestone="k_apply")
+
+    # MFU + phase split from the SAME interleaved group
+    flops = 2.0 * p.mesh.n_cells * (p.mesh.nnode_el * p.dim) ** 2
+    # f32-effective matmul peak: bf16 peak / 3 (Precision.HIGHEST = bf16_3x)
+    bf16_peak_tf = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
+                    "TPU v4": 275.0, "TPU v6 lite": 918.0,
+                    "TPU v6e": 918.0}
+    kind = getattr(dev, "device_kind", "")
+    peak = next((x for k, x in bf16_peak_tf.items() if k in kind),
+                197.0) / 3.0
+    mfu = flops / t_apply / (peak * 1e12)
+    phase = None
+    if t_mm is not None:
+        phase = {"matmul": round(t_mm * 1e6, 1)}
+        if t_unfused is not None:
+            phase["dss_unfused"] = round(max(t_unfused - t_mm, 0.0)
+                                         * 1e6, 1)
+        if t_rot is not None:
+            phase["rotations"] = round(t_rot * 1e6, 1)
+        if t_fused is not None:
+            phase["fused_minus_matmul"] = round((t_fused - t_mm) * 1e6, 1)
+        log(f"phase split (same group): matmul {phase['matmul']} us "
+            f"({flops/t_mm/1e12:.1f} TFLOP/s), "
+            f"dss-unfused {phase.get('dss_unfused')} us, "
+            f"rotations {phase.get('rotations')} us; "
+            f"default-path MFU {mfu*100:.1f}%")
 
     # --- CSR speed-of-light on this chip (f32: 4B value + 4B colidx per nnz)
     hbm_gbps = {"TPU v5 lite": 819.0, "TPU v5e": 819.0,
                 "TPU v4": 1228.0, "TPU v6 lite": 1640.0, "TPU v6e": 1640.0}
-    bw = next((v for k, v in hbm_gbps.items() if k in kind), 819.0)
+    bw = next((v2 for k, v2 in hbm_gbps.items() if k in kind), 819.0)
     csr_sol_gnnz = bw / 8.0
     vs = gnnz_s / csr_sol_gnnz
 
-    # --- KLE solve per timestep at fixed residual (chained full solves:
-    # each iteration re-runs both CG stages warm-started on the previous
-    # velocity, so the slope is one full two-stage solve)
+    # ---- group B (interleaved): warm two-stage solves, jacobi vs fdm ----
     vort = E.curl(ops, v)
     vel0 = jnp.zeros_like(v)
 
@@ -567,61 +741,35 @@ def main():
     def cold_chain(nit):
         return lambda ops_, w, u0: _cold_f(ops_, w, u0, nit)
 
-    r = guard("kle_solve", timed_slope, solve_chain, ops, vort, vel0,
-              n1=2, n2=10, reps=3)
-    t_solve = None if r is None else r[0]
-    if t_solve is not None:
-        log(f"KLE solve (two-stage NS, pc={ops.pc}, rtol={ops.cg_rtol:g}): "
-            f"{t_solve*1e3:.2f} ms warm-started")
-    r = guard("kle_cold", timed_slope, cold_chain, ops, vort, vel0,
-              n1=2, n2=6, reps=3)
-    t_cold = None if r is None else r[0]
-    if t_cold is not None:
-        log(f"KLE solve (pc={ops.pc}, cold start): {t_cold*1e3:.2f} ms")
-
-    # --- full RHS evaluation
-    @jax.jit
-    def _rhs_f(ops_, w, u, nit):
-        def body(i, w):
-            f_, _ = E.rhs_local(ops_, 0.0, w, u)
-            return w + 1e-9 * f_
-        return jax.lax.fori_loop(0, nit, body, w)
-
-    def rhs_chain(nit):
-        return lambda ops_, w, u: _rhs_f(ops_, w, u, nit)
-
-    r = guard("rhs_eval", timed_slope, rhs_chain, ops, vort, vel0,
-              n1=2, n2=10, reps=3)
-    t_rhs = None if r is None else r[0]
-    if t_rhs is not None:
-        log(f"full RHS eval: {t_rhs*1e3:.2f} ms")
-
-    # --- KLE solve under the FDM preconditioner (DESIGN.md §4), warm + cold
-    t_solve_fdm = t_cold_fdm = None
-    if size in ("default", "large") and time_left() > 200:
-        def fdm_section():
+    ops_fdm = None
+    if size in ("default", "large") and time_left() > gate(240):
+        def fdm_setup():
             t1 = time.time()
             p2 = Problem(cfg, solver="cg", cg_rtol=1e-12 if f64 else 1e-6,
                          cg_maxiter=1000, pc="fdm")
             p2.setUp()
-            log(f"fdm setup {time.time()-t1:.1f}s, phases "
-                f"{ {k: round(v, 2) for k, v in p2.setup_phases.items()} }")
-            if p2.engine_ops.pc != "fdm":
-                return None
-            a, _ = timed_slope(solve_chain, p2.engine_ops, vort, vel0,
-                               n1=2, n2=10, reps=3)
-            log(f"KLE solve (pc=fdm): {a*1e3:.2f} ms warm-started")
-            b, _ = timed_slope(cold_chain, p2.engine_ops, vort, vel0,
-                               n1=2, n2=6, reps=3)
-            log(f"KLE solve (pc=fdm, cold start): {b*1e3:.2f} ms")
-            return a, b
-        r = guard("fdm", fdm_section)
-        if r is not None:
-            t_solve_fdm, t_cold_fdm = r
+            log(f"fdm setup {time.time()-t1:.1f}s")
+            return p2.engine_ops if p2.engine_ops.pc == "fdm" else None
+        ops_fdm = guard("fdm_setup", fdm_setup)
 
-    # --- high-order series (BASELINE.md N=6-8 refinement), default run only
+    t_solve = t_solve_fdm = None
+    specs = [("solve_jacobi", solve_chain, (ops, vort, vel0))]
+    if ops_fdm is not None:
+        specs.append(("solve_fdm", solve_chain, (ops_fdm, vort, vel0)))
+    groupB = guard("solve_group", interleaved_slopes, specs, n1=2,
+                   target_s=0.8, rounds=4, time_left=time_left,
+                   reserve=min(90.0, 0.25 * budget_s))
+    if groupB is not None:
+        t_solve = groupB.get("solve_jacobi", (None,))[0]
+        t_solve_fdm = groupB.get("solve_fdm", (None,))[0]
+        _f = lambda t: "n/a" if t is None else f"{t*1e3:.2f} ms"
+        log(f"KLE warm two-stage solve (interleaved): pc={ops.pc} "
+            f"{_f(t_solve)}; fdm {_f(t_solve_fdm)}")
+    PARTIAL.update(last_milestone="warm_solve")
+
+    # ---- high-order series (BASELINE.md N=6-8 refinement) ---------------
     ho = None
-    if size == "default" and time_left() > 150:
+    if size == "default" and time_left() > gate(150):
         def ho_section():
             cfg_ho = dict(cfg)
             cfg_ho["domain"] = {"ngl": 7, "box-mesh": {
@@ -631,8 +779,8 @@ def main():
             ph.setUp()
             vh = jnp.asarray(ph.to_local(rng.standard_normal(
                 (ph.mesh.n_nodes, ph.dim))), dtype=ph.dtype)
-            t_ho, _ = timed_slope(k_chain, ph.engine_ops, vh, n1=20, n2=420,
-                                  reps=5)
+            t_ho, _ = timed_slope(k_chain, ph.engine_ops, vh, n1=100,
+                                  reps=5, target_s=1.0)
             nnz_ho = assembled_nnz(ph.mesh)
             flops_ho = 2.0 * ph.mesh.n_cells \
                 * (ph.mesh.nnode_el * ph.dim) ** 2
@@ -646,6 +794,52 @@ def main():
                 f"mfu {out['mfu']*100:.1f}%")
             return out
         ho = guard("highorder", ho_section)
+    PARTIAL.update(last_milestone="highorder")
+
+    # ---- IBM per-step costs (r5: previously never measured on-chip) -----
+    ibm = None
+    if size == "default" and time_left() > gate(120):
+        ibm = guard("ibm", _ibm_section, timed_slope, str(p.dtype))
+    PARTIAL.update(last_milestone="ibm")
+
+    # ---- memory (after the big programs have run) ------------------------
+    mem = _mem_stats(dev)
+    if mem:
+        log(f"device memory: {mem}")
+
+    # ---- cold solves + rhs (builder artifacts carry these too) ----------
+    t_cold = t_cold_fdm = None
+    if time_left() > gate(90):
+        specs = [("cold_jacobi", cold_chain, (ops, vort, vel0))]
+        if ops_fdm is not None and time_left() > gate(150):
+            specs.append(("cold_fdm", cold_chain, (ops_fdm, vort, vel0)))
+        groupC = guard("cold_group", interleaved_slopes, specs, n1=2,
+                       target_s=0.8, rounds=3, time_left=time_left,
+                       reserve=min(45.0, 0.1 * budget_s))
+        if groupC is not None:
+            t_cold = groupC.get("cold_jacobi", (None,))[0]
+            t_cold_fdm = groupC.get("cold_fdm", (None,))[0]
+            log(f"KLE cold solve: jacobi "
+                f"{None if t_cold is None else round(t_cold*1e3, 2)} ms, "
+                f"fdm {None if t_cold_fdm is None else round(t_cold_fdm*1e3, 2)} ms")
+
+    @jax.jit
+    def _rhs_f(ops_, w, u, nit):
+        def body(i, w):
+            f_, _ = E.rhs_local(ops_, 0.0, w, u)
+            return w + 1e-9 * f_
+        return jax.lax.fori_loop(0, nit, body, w)
+
+    def rhs_chain(nit):
+        return lambda ops_, w, u: _rhs_f(ops_, w, u, nit)
+
+    t_rhs = None
+    if time_left() > gate(60):
+        r = guard("rhs_eval", timed_slope, rhs_chain, ops, vort, vel0,
+                  n1=2, n2=10, reps=3)
+        t_rhs = None if r is None else r[0]
+        if t_rhs is not None:
+            log(f"full RHS eval: {t_rhs*1e3:.2f} ms")
 
     ms = lambda t: None if t is None else round(t * 1e3, 3)
     print(json.dumps({
@@ -660,23 +854,28 @@ def main():
             "kle_cold_jacobi_ms": ms(t_cold),
             "kle_cold_fdm_ms": ms(t_cold_fdm),
             "setup_s": round(setup_s, 1),
-            "setup_phases_s": {k: round(v, 2)
-                               for k, v in p.setup_phases.items()},
+            "setup_phases_s": {k: round(v2, 2)
+                               for k, v2 in p.setup_phases.items()},
             "rhs_eval_ms": ms(t_rhs),
             "k_apply_ms": round(t_apply * 1e3, 4),
-            "k_apply_unfused_ms": None if t_apply_nf is None
-            else round(t_apply_nf * 1e3, 4),
+            "k_apply_fused_ms": None if t_fused is None
+            else round(t_fused * 1e3, 4),
+            "k_apply_unfused_ms": None if t_unfused is None
+            else round(t_unfused * 1e3, 4),
+            "fused_speedup": None if (t_fused is None or t_unfused is None)
+            else round(t_unfused / t_fused, 3),
             "fused": bool(ops.fused),
             "fused_blocks": [[list(k), b] for k, b in ops.fused_blocks],
             "mfu": round(mfu, 4),
-            "phase_us": None if t_mm is None else {
-                "matmul": round(t_mm * 1e6, 1),
-                "dss_incl_rot": round(t_dss * 1e6, 1),
-                "rotations": round(t_rot * 1e6, 1)},
+            "phase_us": phase,
             "highorder": ho,
+            "ibm": ibm,
+            "memory": mem,
             "nnz": nnz,
             "nodes": p.mesh.n_nodes,
             "csr_speed_of_light_gnnz_per_s": round(csr_sol_gnnz, 1),
+            "protocol": "interleaved min-over-rounds slopes "
+                        "(competing variants share windows)",
             "errors": errors,
             "config": f"3D cavity {nelem} ngl={ngl} {p.dtype}",
         },

@@ -16,7 +16,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_bench_small_emits_json_line():
     env = dict(os.environ)
-    env.update(PYNAMA_BENCH="small", PYNAMA_BENCH_BUDGET="60",
+    env.update(PYNAMA_BENCH="small", PYNAMA_BENCH_BUDGET="300",
                JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
