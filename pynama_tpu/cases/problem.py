@@ -144,8 +144,14 @@ class Problem:
         mesh, basis = self.mesh, self.basis
         corners = mesh.cell_corners[0] if mesh.is_uniform \
             else mesh.cell_corners
-        self._em = compute_kle_matrices(basis, corners)
-        eo = compute_operators(basis, corners)
+        # batched (per-element-geometry) builds run their quadratic-form
+        # GEMMs at the ENGINE dtype: at f32 that is both what the device
+        # consumes and ~100x faster than this OpenBLAS's small-batch dgemm
+        # (elements/kle.py gemm_dtype docstring); the shared uniform-box
+        # build stays exact f64
+        gdt = None if mesh.is_uniform else np.dtype(self.dtype)
+        self._em = compute_kle_matrices(basis, corners, gemm_dtype=gdt)
+        eo = compute_operators(basis, corners, gemm_dtype=gdt)
         self._eo = eo
         mk = lambda m, din, dout: make_element_op(
             m, mesh.cell_nodes, mesh.incidence, din, dout, mesh.n_nodes,

@@ -165,17 +165,27 @@ class ElementOperators:
 
 def compute_kle_matrices(basis: TensorBasis, corners: np.ndarray,
                          alpha_w: float = ALPHA_W,
-                         alpha_d: float = ALPHA_D) -> ElementMatrices:
+                         alpha_d: float = ALPHA_D,
+                         gemm_dtype=None) -> ElementMatrices:
     """Element K/Rw/Rd (reference getElemKLEMatrices, spectral.py:92-160).
 
-    The quadratic forms run as explicit batched GEMMs: at 1000 distinct
-    3D ngl=4 geometries the original 5-index einsums cost 254 s of host
-    time (the curl penalty alone 29 s even with optimize=True); the GEMM
-    forms build the same matrices in ~2 s. Row/column flattening is the
-    interleaved dof order (node*dim + comp) throughout, so no transposed
-    interleave pass is needed on the big outputs.
+    The quadratic forms run as explicit batched GEMMs with the big outputs
+    built by strided slab assignment (5-index einsums + interleave copies
+    materialized 2.4-4.7 GB f64 intermediates and dominated the
+    unstructured setup).
+
+    gemm_dtype: dtype of the batched quadratic-form GEMMs and outputs.
+    Geometry stays f64. Default float64 (exact path, used by the shared
+    box-mesh build and the f64 tests). float32 engages this OpenBLAS
+    build's fast sgemm batch path — measured 100x faster than its
+    pathological small-batch dgemm (5 ms per (192,27)@(27,192) call) —
+    and is what a float32 production engine consumes anyway; the ~1e-6
+    relative rounding sits two orders below lambda_min/||K|| = 6e-4 (the
+    precision hazard threshold of DESIGN.md §3). K is explicitly
+    symmetrized under f32 so CG's SPD contract holds bitwise.
     """
     dim = basis.dim
+    gdt = np.float64 if gemm_dtype is None else np.dtype(gemm_dtype)
     Tc = curl_tensor(dim)        # (dim_w, dim, dim)
     Tw = vorticity_curl_tensor(dim)  # (dim, dim_w, dim)
     dim_w = Tc.shape[0]
@@ -192,59 +202,90 @@ def compute_kle_matrices(basis: TensorBasis, corners: np.ndarray,
 
     # --- full quadrature: vector Laplacian, Rw, Rd main terms
     Hxy, wdet = _geometry(basis.full, C)       # (E, nq, dim, nn), (E, nq)
-    H = basis.full.H                           # (nq, nn)
+    Hxy = Hxy.astype(gdt, copy=False)
+    wdet = wdet.astype(gdt, copy=False)
+    H = basis.full.H.astype(gdt, copy=False)   # (nq, nn)
     nqf, nn = H.shape
     # scalar Laplacian L[a,b] = sum_{q,d} w Hxy[q,d,a] Hxy[q,d,b]
     Xf = Hxy.reshape(E, nqf * dim, nn)
     L = np.matmul((wdet[:, :, None, None] * Hxy)
                   .reshape(E, nqf * dim, nn).transpose(0, 2, 1), Xf)
-    K = _interleave_quad(
-        L[:, :, None, :, None] * eye[None, :, None, :], (dim, dim))
+    # interleaved K main term by strided slab assignment: the broadcast
+    # L[:,:,None,:,None]*eye form materialized an (E, nn, dim, nn, dim)
+    # f64 array (2.4 GB at E=1000 ngl=4) + a reshape copy — measured as
+    # the dominant unstructured-setup cost (round-5 profile)
+    K = np.zeros((E, nn * dim, nn * dim), dtype=gdt)
+    Kv = K.reshape(E, nn, dim, nn, dim)
+    for c in range(dim):
+        Kv[:, :, c, :, c] = L
 
-    # shared full-family mixed form M[d,a,b] = sum_q (w H)[q,a] Hxy[q,d,b]
+    # shared full-family mixed form M[a,d,b] = sum_q (w H)[q,a] Hxy[q,d,b]
+    # as ONE batched GEMM; downstream consumers read d-slices of the view
+    # (einsum's path materialized transposed copies)
     wH = wdet[:, :, None] * H[None]
-    M = np.einsum('eqa,eqdb->edab', wH, Hxy, optimize=True)
+    Mv = np.matmul(wH.transpose(0, 2, 1),
+                   Hxy.reshape(E, nqf, dim * nn)) \
+        .reshape(E, nn, dim, nn)               # [e, a, d, b]
 
-    # Rw full: [(a,c),(b,f)] = sum_d Tw[c,f,d] M[d,a,b]
-    Rw = _interleave_quad(
-        np.einsum('cfd,edab->eacbf', Tw, M, optimize=True),
-        (dim, basis.dim_w))
+    # Rw full: [(a,c),(b,f)] = sum_d Tw[c,f,d] M[a,d,b] — sparse-tensor
+    # slab loop instead of a 5-index einsum + interleave copy
+    Rw = np.zeros((E, nn * dim, nn * basis.dim_w), dtype=gdt)
+    Rwv = Rw.reshape(E, nn, dim, nn, basis.dim_w)
+    for c in range(dim):
+        for f in range(basis.dim_w):
+            for d in range(dim):
+                t = float(Tw[c, f, d])
+                if t != 0.0:
+                    Rwv[:, :, c, :, f] += t * Mv[:, :, d, :]
 
-    # Rd full: [(a,c), b] = -M[c,a,b]
-    Rd = -M.transpose(0, 2, 1, 3).reshape(E, nn * dim, nn)
+    # Rd full: [(a,c), b] = -M[a,c,b]
+    Rd = np.zeros((E, nn * dim, nn), dtype=gdt)
+    Rdv = Rd.reshape(E, nn, dim, nn)
+    for c in range(dim):
+        Rdv[:, :, c, :] = -Mv[:, :, c, :]
 
     # --- reduced quadrature penalties
     Hxy_r, wdet_r = _geometry(basis.reduced, C)
-    H_r = basis.reduced.H
+    Hxy_r = Hxy_r.astype(gdt, copy=False)
+    wdet_r = wdet_r.astype(gdt, copy=False)
+    H_r = basis.reduced.H.astype(gdt, copy=False)
     nqr = H_r.shape[0]
     # div penalty: rows/cols directly in interleaved (a*dim + c) order
     Zi = Hxy_r.transpose(0, 1, 3, 2).reshape(E, nqr, nn * dim)
     wZi = wdet_r[:, :, None] * Zi
-    K = K + alpha_d * np.matmul(wZi.transpose(0, 2, 1), Zi)
+    K += alpha_d * np.matmul(wZi.transpose(0, 2, 1), Zi)
     # curl penalty: Bc rows (q,w), cols (a,c) interleaved
     Bc = np.einsum('wcd,eqda->eqwac', Tc, Hxy_r, optimize=True)
     Bf = Bc.reshape(E, nqr * dim_w, nn * dim)
     wBf = (wdet_r[:, :, None, None, None] * Bc) \
         .reshape(E, nqr * dim_w, nn * dim)
-    K = K + alpha_w * np.matmul(wBf.transpose(0, 2, 1), Bf)
+    K += alpha_w * np.matmul(wBf.transpose(0, 2, 1), Bf)
     # Rw penalty: [(a,c),(b,e)] = sum_q (w Bc)[q,e,a,c] H_r[q,b]
     wBq = (wdet_r[:, :, None, None, None] * Bc).reshape(E, nqr, -1)
     Npen = np.matmul(wBq.transpose(0, 2, 1), H_r) \
-        .reshape(E, dim_w, nn, dim, nn)            # [e, a, c, b]
-    Rw = Rw + alpha_w * Npen.transpose(0, 2, 3, 4, 1) \
-        .reshape(E, nn * dim, nn * dim_w)
+        .reshape(E, dim_w, nn, dim, nn)            # [e, w, a, c, b]
+    Rwv = Rw.reshape(E, nn, dim, nn, dim_w)
+    for w in range(dim_w):
+        for c in range(dim):
+            Rwv[:, :, c, :, w] += alpha_w * Npen[:, w, :, c, :]
     # Rd penalty: [(a,c), b] = alpha_d sum_q w Hxy_r[q,c,a] H_r[q,b]
-    Rd = Rd + alpha_d * np.matmul(wZi.transpose(0, 2, 1), H_r)
+    Rd += (alpha_d * np.matmul(wZi.transpose(0, 2, 1), H_r)).astype(
+        gdt, copy=False)
+    if gdt != np.float64:
+        # sgemm A^T B with B = A is not bitwise symmetric; CG assumes SPD
+        # (out-of-place: in-place += with a transposed view of self
+        # overlaps memory)
+        K = gdt.type(0.5) * (K + np.swapaxes(K, -1, -2))
 
     if not batched:
         K, Rw, Rd = K[0], Rw[0], Rd[0]
     return ElementMatrices(K=K, Rw=Rw, Rd=Rd)
 
 
-def compute_operators(basis: TensorBasis, corners: np.ndarray
-                      ) -> ElementOperators:
+def compute_operators(basis: TensorBasis, corners: np.ndarray,
+                      gemm_dtype=None) -> ElementOperators:
     """Nodal SrT/DivSrT/Curl/weights (reference getElemKLEOperators,
-    spectral.py:162-228)."""
+    spectral.py:162-228). gemm_dtype as in compute_kle_matrices."""
     dim = basis.dim
     fam = basis.operator
     corners = np.asarray(corners, dtype=np.float64)
@@ -260,25 +301,43 @@ def compute_operators(basis: TensorBasis, corners: np.ndarray
     Td = div_srt_tensor(dim)
     Tc = curl_tensor(dim)
 
-    # shared mixed form M[d,a,b] = sum_q (w H)[q,a] Hxy[q,d,b]: ONE batched
-    # GEMM feeds all three operators (the per-operator 4-factor einsums
-    # re-contracted it three times and cost most of the unstructured
-    # setup at production cell counts)
+    # shared mixed form M[a,d,b] = sum_q (w H)[q,a] Hxy[q,d,b]: ONE batched
+    # GEMM feeds all three operators; the interleaved outputs are then
+    # built by SPARSE-TENSOR SLAB ASSIGNMENT (loop over the few nonzero
+    # T[o,c,d] entries, each a strided (E, nn, nn) write). The previous
+    # 5-index einsums + interleave reshapes materialized (E, nn, do, nn,
+    # di) f64 intermediates — 2.4-4.7 GB each at E=1000 ngl=4 — and were
+    # the dominant unstructured-setup cost (round-5 profile: 20.6 s of
+    # einsum + 17.6 s of reshape copies in a 63 s operators phase).
+    gdt = np.float64 if gemm_dtype is None else np.dtype(gemm_dtype)
+    Hxy = Hxy.astype(gdt, copy=False)
+    wdet = wdet.astype(gdt, copy=False)
+    H = H.astype(gdt, copy=False)
+    E, nq, nn = Hxy.shape[0], Hxy.shape[1], Hxy.shape[3]
     wH = wdet[:, :, None] * H[None]
-    M = np.einsum('eqa,eqdb->edab', wH, Hxy, optimize=True)
+    Mv = np.matmul(wH.transpose(0, 2, 1),
+                   Hxy.reshape(E, nq, dim * nn)) \
+        .reshape(E, nn, dim, nn)               # [e, a, d, b]
 
-    SrT = _interleave_quad(
-        np.einsum('scd,edab->easbc', Ts, M, optimize=True),
-        (basis.dim_s, dim))
-    DivSrT = _interleave_quad(
-        np.einsum('csd,edab->eacbs', Td, M, optimize=True),
-        (dim, basis.dim_s))
-    Curl = _interleave_quad(
-        np.einsum('wcd,edab->eawbc', Tc, M, optimize=True),
-        (basis.dim_w, dim))
+    def sparse_interleave(T, do):
+        """OUT[(a,o),(b,c)] = sum_d T[o,c,d] M[a,d,b] for a sparse T
+        of shape (do, dim, dim) indexed [out_comp, in_comp, deriv]."""
+        out = np.zeros((E, nn * do, nn * dim), dtype=gdt)
+        ov = out.reshape(E, nn, do, nn, dim)
+        for o, c, d in zip(*np.nonzero(T)):
+            ov[:, :, o, :, c] += float(T[o, c, d]) * Mv[:, :, d, :]
+        return out
+
+    SrT = sparse_interleave(Ts, basis.dim_s)
+    # DivSrT rows are velocity components, columns strain: T[c, s, d]
+    DivSrT = np.zeros((E, nn * dim, nn * basis.dim_s), dtype=gdt)
+    dv = DivSrT.reshape(E, nn, dim, nn, basis.dim_s)
+    for c, s, d in zip(*np.nonzero(Td)):
+        dv[:, :, c, :, s] += float(Td[c, s, d]) * Mv[:, :, d, :]
+    Curl = sparse_interleave(Tc, basis.dim_w)
     # partition of unity: row sums of the weight matrix reduce to w_q detJ
     # projected on the nodal basis (spectral.py:225-227)
-    weight = np.einsum('eqa->ea', wH, optimize=True)
+    weight = wH.sum(axis=1)
     if not batched:
         SrT, DivSrT, Curl, weight = SrT[0], DivSrT[0], Curl[0], weight[0]
     return ElementOperators(SrT=SrT, DivSrT=DivSrT, Curl=Curl, weight=weight)

@@ -262,8 +262,10 @@ def build_engine(mesh, bc, em_K, em_Rw, op_curl, op_srt, op_div, op_weight,
                             dtype=npdt)
     free_fs = jnp.asarray(L.to_local(mesh, bc.free_fs.astype(np.float64)),
                           dtype=npdt)
-    K_np = np.asarray(em_K, dtype=np.float64)
-    tr = lambda a: np.swapaxes(np.asarray(a, dtype=np.float64), -1, -2)
+    # keep the source dtype: upcasting f32-built batched matrices to f64
+    # here only to downcast at jnp.asarray doubled the copy traffic
+    K_np = np.asarray(em_K)
+    tr = lambda a: np.swapaxes(np.asarray(a), -1, -2)
     de = np.diagonal(K_np, axis1=-2, axis2=-1) if K_np.ndim == 3 \
         else np.tile(np.diagonal(K_np)[None, :], (E, 1))
     diag = jnp.asarray(L.dss_np(mesh, de, dim), dtype=npdt)
