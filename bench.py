@@ -186,7 +186,10 @@ def bench_scaling():
     ndev_all = len(jax.devices())
     base = (4, 12, 12)
     ngl = 4
-    results = {}
+    # PHASE 1: build every config (identical per-shard shape (4,12,12);
+    # the two-stage solve is fixed-work — both CG stages cap at maxiter,
+    # verified — so throughput differences are pure sharding+host effects)
+    runs = {}
     for ndev in [d for d in (1, 2, 4, 8, 16) if d <= ndev_all]:
         nelem = (base[0] * ndev, base[1], base[2])
         cfg = {
@@ -205,17 +208,22 @@ def bench_scaling():
         vort_s, vel_s = sk.shard_state(
             np.zeros((p.mesh.n_nodes, p.mesh.dim_w)),
             np.zeros((p.mesh.n_nodes, p.mesh.dim)))
-        jax.block_until_ready(rhs(sk.ops_s, 0.0, vort_s, vel_s))
-        reps = 3
-        best = np.inf
-        for _ in range(reps):
+        jax.block_until_ready(rhs(sk.ops_s, 0.0, vort_s, vel_s))  # compile
+        runs[ndev] = (sk, rhs, vort_s, vel_s, assembled_nnz(p.mesh))
+    # PHASE 2: INTERLEAVED rounds — every N is timed inside the same host
+    # load windows, min over rounds (the r4 artifact's N=2 'dip' did not
+    # reproduce: three repetitions of the sequential protocol gave N=2
+    # efficiency 0.82 / 0.53 / 1.01 on the 2-core shared host; per-N
+    # numbers from different windows are noise, not framework signal)
+    best = {n: np.inf for n in runs}
+    for _ in range(7):
+        for ndev, (sk, rhs, vort_s, vel_s, nnz) in runs.items():
             t1 = time.perf_counter()
             jax.block_until_ready(rhs(sk.ops_s, 0.0, vort_s, vel_s))
-            best = min(best, time.perf_counter() - t1)
-        nnz = assembled_nnz(p.mesh)
-        results[ndev] = nnz / best / 1e9
-        log(f"scaling ndev={ndev}: {results[ndev]:.2f} GNNZ/s "
-            f"({results[ndev]/ndev:.2f}/dev)")
+            best[ndev] = min(best[ndev], time.perf_counter() - t1)
+    results = {n: runs[n][4] / best[n] / 1e9 for n in runs}
+    for ndev, g in results.items():
+        log(f"scaling ndev={ndev}: {g:.2f} GNNZ/s ({g/ndev:.2f}/dev)")
     shared = jax.devices()[0].platform == "cpu"
     effs = {}
     for ndev, g in results.items():
@@ -307,6 +315,22 @@ def bench_hex():
             res[name] = per
             log(f"hex K apply ({name}): {per*1e6:.1f} us "
                 f"(setup {setup_secs[name]}s)")
+            if sf_on:
+                # split out the gather-DSS (the documented unstructured
+                # ceiling, DESIGN §7) from the sumfact math
+                from pynama_tpu.ops import local as LL
+
+                @jax.jit
+                def dchain(ops_, v, nit):
+                    def body(i, x):
+                        y = LL.dss(ops_.lay_v, x)
+                        return y / (1.0 + jnp.max(jnp.abs(y)))
+                    return jax.lax.fori_loop(0, nit, body, v)
+
+                r = timed_slope(lambda n: (lambda o_, v_: dchain(o_, v_, n)),
+                                ops, v, n1=100, reps=5, target_s=1.0)
+                res["dss_only"] = r[0]
+                log(f"hex gather-DSS alone: {r[0]*1e6:.1f} us")
         except Exception as e:  # noqa: BLE001 — degrade, never die
             errors.append(f"{name}: {type(e).__name__}: "
                           + " ".join(str(e).split())[:200])
@@ -322,6 +346,11 @@ def bench_hex():
         "vs_baseline": 0.0 if speedup is None else round(speedup, 2),
         "detail": {"k_apply_sumfact_us": us("sumfact"),
                    "k_apply_dense_us": us("dense"),
+                   "gather_dss_us": us("dss_only"),
+                   "roofline_note": ("sumfact math ~48 us vs 6 us HBM "
+                                     "floor; the rest is the gather-DSS "
+                                     "(XLA-TPU gather ceiling, DESIGN "
+                                     "§7 r5)"),
                    "setup_s": setup_secs,
                    "cells": None if mesh is None else mesh.n_cells,
                    "ngl": ngl,
@@ -648,7 +677,7 @@ def main():
     if ops.fused:
         specs.insert(0, ("k_fused", k_chain, (ops, v)))
     groupA = guard("apply_group", interleaved_slopes, specs, n1=400,
-                   target_s=1.0, rounds=5, time_left=time_left,
+                   target_s=1.0, rounds=8, time_left=time_left,
                    reserve=min(120.0, 0.3 * budget_s))
     if groupA is None or ("k_fused" not in groupA
                           and "k_unfused" not in groupA):

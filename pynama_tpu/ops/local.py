@@ -245,11 +245,25 @@ def _dss_gather(layout: LocalLayout, t: jax.Array, axis_name=None
                 ) -> jax.Array:
     """General-mesh DSS: fixed-fanin segment sum into global node values,
     duplicated back into every slot. Sharded (element-split) meshes psum
-    the per-shard partial node sums — one collective per application."""
+    the per-shard partial node sums — one collective per application.
+
+    The fan-in sum runs as kmax SEPARATE column gathers + adds: the fused
+    `zf[incidence].sum(axis=1)` form materializes a (n_nodes, kmax, c)
+    gather whose trailing-(kmax, c) reduce XLA schedules badly on TPU —
+    whole-DSS 723 -> 583 us at 1000 hexes ngl=4 (r5 on-chip,
+    exp/dss_gather_opt.py). TPU gather cost is pattern-INSENSITIVE
+    (sorted/random/sequential indices measure alike) with a large fixed
+    cost per gather call — fewer, fatter calls win; a cumsum-segmented
+    variant with 2 fewer gathers measured 434 us but carries an
+    O(eps*sqrt(S)) ~ 1.5e-5 cancellation error that would floor
+    cg_rtol=1e-6 solves, and is rejected (DESIGN §7)."""
     E, nn, c = layout.n_cells, layout.nnode_el, layout.ncomp
     zf = t.reshape(E * nn, c)
     zf = jnp.concatenate([zf, jnp.zeros((1, c), dtype=zf.dtype)])
-    g = zf[layout.incidence].sum(axis=1)              # (n_nodes, c)
+    inc = layout.incidence
+    g = zf[inc[:, 0]]
+    for k in range(1, inc.shape[1]):
+        g = g + zf[inc[:, k]]                         # (n_nodes, c)
     if axis_name is not None:
         if layout.iface is not None:
             # exchange only the partition-interface rows (see the
