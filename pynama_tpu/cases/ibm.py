@@ -117,7 +117,7 @@ class ImmersedBoundaryStatic(Problem):
         vort = self.operator.curl(vel)
 
         hist = {"times": [], "cd": [], "cl": [], "dt": [], "steps": [],
-                "elapsedTimes": []}
+                "elapsedTimes": [], "cd_phys": [], "cl_phys": []}
         timer = Timer()
         step = 0
         while step < self.max_steps and t < self.end_time - 1e-14:
@@ -125,6 +125,7 @@ class ImmersedBoundaryStatic(Problem):
             t, vort, vel = stepper.step(t, vort, vel, t_max=self.end_time)
             step += 1
             vort, vel = self.solve_kle(vort, vel, t)
+            vel_pre = vel
             vel, flux = self._per_step_correction(vel, t)
             vort = self.operator.curl(vel)
             dt = stepper.dt
@@ -136,9 +137,22 @@ class ImmersedBoundaryStatic(Problem):
                 denom = 0.5 * self.U_ref**2
                 fx, fy = self.body.compute_force(np.asarray(flux),
                                                  denom * dt)
+                # physical force coefficients from the momentum the
+                # correction imparts to the fluid per unit time:
+                # F = rho * integral(dv) dV / dt with the lumped node
+                # areas; cd = F_x / (0.5 rho U^2 Lref). The reference's
+                # computeDragForce sums raw flux components
+                # (immersed_boundary.py:115-120) — a resolution-scaled
+                # trace kept above as `cd` for parity.
+                corr = np.asarray(vel) - np.asarray(vel_pre)
+                wl = np.asarray(self.operator.weight).reshape(-1)
+                cphys = (corr * wl[:, None]).sum(axis=0) \
+                    / (dt * denom * self.body.ref_length)
                 hist["times"].append(float(t))
                 hist["cd"].append(fx)
                 hist["cl"].append(fy)
+                hist["cd_phys"].append(float(cphys[0]))
+                hist["cl_phys"].append(float(cphys[1]))
                 hist["dt"].append(float(dt))
                 hist["steps"].append(step)
                 hist["elapsedTimes"].append(timer.toc())
@@ -288,7 +302,7 @@ class ImmersedBoundaryStatic(Problem):
         vort_s, vel_s, flux = accept(t, vort_s, vel_s)
 
         hist = {"times": [], "cd": [], "cl": [], "dt": [], "steps": [],
-                "elapsedTimes": []}
+                "elapsedTimes": [], "cd_phys": [], "cl_phys": []}
         timer = Timer()
         step = 0
         while step < self.max_steps and t < self.end_time - 1e-14:
@@ -308,6 +322,19 @@ class ImmersedBoundaryStatic(Problem):
                 denom = 0.5 * self.U_ref**2
                 fx, fy = self.body.compute_force(np.asarray(flux),
                                                  denom * dt)
+                # physical coefficients (see the single-device loop): the
+                # replicated flux is spread through the GLOBAL static
+                # tables on host; the dynamic sharded case rebuilds its
+                # tables per shard in-jit, so cd_phys is skipped there
+                if getattr(self, "nodes_tab", None) is not None:
+                    corr = np.asarray(I.spread_S(
+                        self.ibm_ops, self.nodes_tab, self.w_tab,
+                        jnp.asarray(np.asarray(flux)), self.mesh.n_nodes))
+                    wl = np.asarray(self.operator.weight).reshape(-1)
+                    cphys = (corr * wl[:, None]).sum(axis=0) \
+                        / (dt * denom * self.body.ref_length)
+                    hist["cd_phys"].append(float(cphys[0]))
+                    hist["cl_phys"].append(float(cphys[1]))
                 hist["times"].append(float(t))
                 hist["cd"].append(fx)
                 hist["cl"].append(fy)

@@ -187,6 +187,18 @@ class BodiesContainer:
     """All bodies of a case (reference BodiesContainer,
     `immersed_body.py:8-130`)."""
 
+    @property
+    def ref_length(self) -> float:
+        """Characteristic length for force coefficients: the first body's
+        diameter (circle/sphere) or longitude, else 1 (the reference
+        normalizes by 0.5*U^2 only, immersed_boundary.py:115-120)."""
+        b = self.bodies[0]
+        if hasattr(b, "radius"):
+            return 2.0 * b.radius
+        if hasattr(b, "longitud"):
+            return float(b.longitud)
+        return 1.0
+
     TYPES = {"circle": Circle, "line": Line, "box": OpenBox,
              "sphere": Sphere}
 
