@@ -7,7 +7,7 @@ virtual flux exactly as the reference's computeDragForce
 (src/cases/immersed_boundary.py:115-160; here ibm/bodies.py
 compute_force). Writes exp/ibm_cd_r05.json.
 
-Usage: python tg-test/ibm_cd.py [t_end] [out.json]
+Usage: python exp/ibm_cd.py [t_end] [out.json]
 """
 import json
 import sys
