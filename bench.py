@@ -798,7 +798,10 @@ def main():
 
     # ---- high-order series (BASELINE.md N=6-8 refinement) ---------------
     ho = None
-    if size == "default" and time_left() > gate(150):
+    # gate 110: the section costs ~60-70 s (setup + one chain compile);
+    # the r5 validation run showed a 150 s gate losing to the budget in
+    # exactly the window where the cheaper sections still fit
+    if size == "default" and time_left() > gate(110):
         def ho_section():
             cfg_ho = dict(cfg)
             cfg_ho["domain"] = {"ngl": 7, "box-mesh": {
